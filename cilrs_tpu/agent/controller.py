@@ -1,0 +1,413 @@
+"""The rule-based safety/speed controller and overtake/reverse state machine.
+
+This is the TPU-native re-expression of the reference's `apply_control` priority
+cascade (model/autonomous_drive.py:940-1132) and `attempt_overtake`/`can_overtake`
+machine (:1133-1309): every branch of the Python if/elif ladder becomes a
+predicated lane of dense arithmetic, selected by priority with `jnp.where`, so the
+controller runs identically for one env or ten thousand under `vmap` with zero
+data-dependent control flow.
+
+Priorities (highest first), matching the reference exactly in clear weather:
+  RED light stop (brake 0.8)  ->  YELLOW under 30 km/h (brake 0.5)  ->
+  overtake / reverse override  ->  hard-brake zone 8*max(1,v/15) m  ->
+  slow / caution zones 16 / 25 m  ->  intersection brake-suppression + hint blend
+  ->  anti-stall UNSTICK (0.7 -> 0.85 throttle after 3 s / 6 s)  ->
+  banded speed governor with curve awareness (hard cap target+10).
+
+Weather-adaptive driving (the reference documents it but never implemented it —
+SURVEY.md §2.3 item 1) is real here: targets, thresholds, braking distances,
+steer damping, and traction control come from the WeatherTable row selected by
+`world.weather_idx`. The "clear" row reproduces the reference's hard-coded
+constants (35 / 45 / 22 / 18 km/h, threshold 0.25).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from cilrs_tpu.config import WeatherTable
+from cilrs_tpu.core.geometry import heading_vec
+from cilrs_tpu.core.state import WorldState
+from cilrs_tpu.maps.network import LIGHT_RED, LIGHT_YELLOW, RoadNetwork
+from cilrs_tpu.maps.queries import nearest_lane_waypoint
+from cilrs_tpu.ops.filters import SmoothingState, init_smoothing, smooth_controls
+
+# Status codes (HUD/report strings in evaluation.hud.STATUS_NAMES).
+ST_OK, ST_RED, ST_YELLOW, ST_BRAKE, ST_OVERTAKE_L, ST_OVERTAKE_R, ST_REVERSE, \
+    ST_UNSTICK, ST_RECOVERY, ST_TELEPORT = range(10)
+
+# Overtake machine states.
+OV_NONE, OV_LEFT, OV_RIGHT, OV_REVERSE = 0, 1, 2, 3
+
+INTERSECTION_SPEED = 18.0
+T_NONE = -1.0e9  # sentinel for "timer not running"
+
+
+@struct.dataclass
+class CtrlState:
+    """Per-env controller memory threaded through the rollout scan."""
+
+    smoothing: SmoothingState
+    waiting_for_red: jnp.ndarray  # bool
+    red_clear_time: jnp.ndarray  # f32 — last sim time with no red gate
+    waiting_for_traffic: jnp.ndarray  # bool
+    traffic_wait_start: jnp.ndarray  # f32 (T_NONE when idle)
+    obstacle_wait_start: jnp.ndarray  # f32
+    stopped_start: jnp.ndarray  # f32
+    ov_state: jnp.ndarray  # i32 — overtake machine
+    ov_start: jnp.ndarray  # f32 — phase timer origin
+
+
+def init_ctrl_state() -> CtrlState:
+    f = lambda v: jnp.asarray(v, jnp.float32)
+    return CtrlState(
+        smoothing=init_smoothing(),
+        waiting_for_red=jnp.asarray(False),
+        red_clear_time=f(0.0),
+        waiting_for_traffic=jnp.asarray(False),
+        traffic_wait_start=f(T_NONE),
+        obstacle_wait_start=f(T_NONE),
+        stopped_start=f(T_NONE),
+        ov_state=jnp.asarray(OV_NONE, jnp.int32),
+        ov_start=f(T_NONE),
+    )
+
+
+def reset_ctrl_state(ctrl: CtrlState, now: jnp.ndarray) -> CtrlState:
+    """Full reset (the reference clears deques + machine state on teleport,
+    model/autonomous_drive.py:1407-1428)."""
+    fresh = init_ctrl_state()
+    return fresh.replace(red_clear_time=now)
+
+
+# ---------------------------------------------------------------------------
+# Overtake support
+# ---------------------------------------------------------------------------
+
+
+def _lane_clear(world: WorldState, lane_pos: jnp.ndarray, lane_yaw: jnp.ndarray) -> jnp.ndarray:
+    """True if no actor occupies lateral +/-2.5 m, longitudinal (-5, 30) m of the
+    lane axis (reference can_overtake clearance, model/autonomous_drive.py:1172-1190)."""
+    fwd = heading_vec(lane_yaw)
+
+    def occupied(pos: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
+        rel = pos - lane_pos
+        lon = rel[:, 0] * fwd[0] + rel[:, 1] * fwd[1]
+        lat = rel[:, 1] * fwd[0] - rel[:, 0] * fwd[1]
+        inside = (lon > -5.0) & (lon < 30.0) & (jnp.abs(lat) <= 2.5) & alive
+        return jnp.any(inside)
+
+    occ_v = occupied(world.veh_pos[1:], world.veh_alive[1:])
+    occ_p = occupied(world.ped_pos, world.ped_alive)
+    return ~(occ_v | occ_p)
+
+
+def can_overtake(net: RoadNetwork, world: WorldState):
+    """(left_ok, right_ok): adjacent same-direction driving lane exists + clear.
+
+    Our builder only fills wp_left/wp_right with SAME-direction lanes (opposite
+    lanes are separate chains), mirroring the reference's lane-id sign check
+    (model/autonomous_drive.py:1159)."""
+    wp, _ = nearest_lane_waypoint(net, world.ego_pos)
+    left = net.wp_left[wp]
+    right = net.wp_right[wp]
+
+    def check(adj):
+        valid = adj >= 0
+        idx = jnp.maximum(adj, 0)
+        clear = _lane_clear(world, net.wp_xy[idx], net.wp_yaw[idx])
+        return valid & clear
+
+    return check(left), check(right)
+
+
+# ---------------------------------------------------------------------------
+# The controller
+# ---------------------------------------------------------------------------
+
+
+def safety_controller(
+    net: RoadNetwork,
+    world: WorldState,
+    ctrl: CtrlState,
+    wt: WeatherTable,
+    nn_steer: jnp.ndarray,  # raw model outputs
+    nn_gas: jnp.ndarray,
+    nn_brake: jnp.ndarray,
+    speed_kmh: jnp.ndarray,
+    cmd: jnp.ndarray,  # i32 high-level command
+    hint: jnp.ndarray,  # steer hint from route
+    obs_dist: jnp.ndarray,  # m (999 = none)
+    tl_state: jnp.ndarray,  # i32 traffic-light state
+):
+    """Returns (control [steer, throttle, brake], reverse flag, status i32,
+    new CtrlState, events dict)."""
+    now = world.time_s
+    w = jax.tree.map(lambda a: a[world.weather_idx], wt)
+
+    at_intersection = (cmd >= 1) & (cmd <= 3)
+    target_speed = w.max_speed_kmh
+    max_speed = w.max_speed_kmh + 10.0
+    steer_in = nn_steer / w.steer_damping
+
+    # Curve detection (reference :950-961, thresholds from the weather profile).
+    steer_mag = jnp.abs(steer_in)
+    hint_mag = jnp.abs(hint)
+    in_curve = (steer_mag > w.curve_threshold) | (hint_mag > w.curve_threshold)
+    curve_factor = jnp.maximum(steer_mag, hint_mag)
+    current_target = jnp.where(
+        in_curve,
+        jnp.maximum(w.sharp_curve_speed_kmh, w.curve_speed_kmh - curve_factor * 15.0),
+        jnp.where(at_intersection, INTERSECTION_SPEED, target_speed),
+    )
+
+    # Braking distances, scaled by speed and the weather brake factor (:963-966).
+    speed_factor = jnp.maximum(1.0, speed_kmh / 15.0) * w.brake_factor
+    hard_dist = 8.0 * speed_factor
+    slow_dist = 16.0 * speed_factor
+    caution_dist = 25.0 * speed_factor
+
+    red = tl_state == LIGHT_RED
+    yellow_stop = (tl_state == LIGHT_YELLOW) & (speed_kmh < 30.0)
+    light_gate = red | yellow_stop
+
+    # --- overtake / reverse state machine ---
+    left_ok, right_ok = can_overtake(net, world)
+    waited = jnp.where(
+        ctrl.obstacle_wait_start > T_NONE / 2, now - ctrl.obstacle_wait_start, 0.0
+    )
+    red_grace = (now - ctrl.red_clear_time) > 10.0
+    trigger = (
+        (ctrl.ov_state == OV_NONE)
+        & (obs_dist < 10.0)
+        & (speed_kmh < 3.0)
+        & (waited > 4.0)
+        & red_grace
+        & ~light_gate
+    )
+    start_lane = trigger & (left_ok | right_ok)
+    start_rev = trigger & ~(left_ok | right_ok) & (waited > 8.0)
+    ov_state = ctrl.ov_state
+    ov_start = ctrl.ov_start
+    ov_state = jnp.where(start_lane, jnp.where(left_ok, OV_LEFT, OV_RIGHT), ov_state)
+    ov_state = jnp.where(start_rev, OV_REVERSE, ov_state)
+    ov_start = jnp.where(start_lane | start_rev, now, ov_start)
+
+    el = now - ov_start  # phase time
+    lane_active = (ov_state == OV_LEFT) | (ov_state == OV_RIGHT)
+    dir_sign = jnp.where(ov_state == OV_LEFT, 1.0, -1.0)  # +steer = left
+    # Timed phases (reference :1283-1307): 0-2 change, 2-5 pass, 5-7 return.
+    ov_steer = jnp.where(
+        el < 2.0,
+        dir_sign * 0.25 * (1.0 - el / 2.0),
+        jnp.where(
+            el < 5.0,
+            hint * 0.3,
+            -dir_sign * 0.2 * jnp.clip(1.0 - (el - 5.0) / 2.0, 0.0, 1.0),
+        ),
+    )
+    ov_throttle = jnp.where(el < 2.0, 0.5, jnp.where(el < 5.0, 0.6, 0.5))
+    lane_done = lane_active & (el > 7.0)
+    ov_state = jnp.where(lane_done, OV_NONE, ov_state)
+    lane_active = lane_active & ~lane_done
+
+    rev_active = ov_state == OV_REVERSE
+    # Reverse phases (:1250-1281): back up 3 s, retry lanes 3-5 s, then teleport.
+    rev_backing = rev_active & (el < 3.0)
+    rev_retry = rev_active & (el >= 3.0) & (el <= 5.0)
+    retry_found = rev_retry & (left_ok | right_ok)
+    ov_state = jnp.where(retry_found, jnp.where(left_ok, OV_LEFT, OV_RIGHT), ov_state)
+    ov_start = jnp.where(retry_found, now, ov_start)
+    teleport_request = rev_active & (el > 5.0) & ~retry_found
+    ov_state = jnp.where(teleport_request, OV_NONE, ov_state)
+    rev_backing = rev_backing & ~retry_found
+    lane_active = lane_active | retry_found
+
+    overtake_active = (lane_active | rev_backing) & ~light_gate
+
+    # --- obstacle zones (only relevant when not overriding) ---
+    in_hard = obs_dist < hard_dist
+    in_slow = ~in_hard & (obs_dist < slow_dist)
+    in_caution = ~in_hard & ~in_slow & (obs_dist < caution_dist)
+    hard_brake_force = jnp.clip(
+        jnp.maximum(0.3, 1.0 - obs_dist / jnp.maximum(hard_dist, 0.1)) * w.brake_factor,
+        0.0, 1.0,
+    )
+    slow_factor = (obs_dist - hard_dist) / jnp.maximum(0.1, slow_dist - hard_dist)
+
+    gas = nn_gas
+    gas = jnp.where(in_slow, jnp.minimum(gas, 0.15 + slow_factor * 0.2), gas)
+    gas = jnp.where(in_caution, jnp.minimum(gas, 0.4), gas)
+    brake = nn_brake
+
+    # Intersection handling (:1058-1067): suppress phantom brakes, blend hint.
+    suppress = at_intersection & (brake > 0.3) & ~in_hard
+    brake = jnp.where(suppress, 0.0, brake)
+    gas = jnp.where(suppress, jnp.maximum(gas, 0.45), gas)
+    steer_pre = jnp.where(
+        suppress & (hint_mag > 0.05), 0.4 * steer_in + 0.6 * hint, steer_in
+    )
+
+    # --- single smoothing push; branch selects its pre-smooth steer ---
+    push_steer = jnp.where(
+        overtake_active & lane_active, ov_steer + hint * 0.2, steer_pre
+    )
+    push_gas = gas
+    smoothing, sm_steer, sm_gas = smooth_controls(ctrl.smoothing, push_steer, push_gas)
+
+    steer_normal = jnp.where(
+        at_intersection & (hint_mag > 0.05), 0.6 * sm_steer + 0.4 * hint, sm_steer
+    )
+    steer_normal = jnp.clip(steer_normal, -1.0, 1.0)
+    gas_normal = jnp.clip(sm_gas, 0.0, 0.9)
+    brake_normal = jnp.clip(brake, 0.0, 1.0)
+
+    # --- anti-stall UNSTICK (:1074-1090) ---
+    stopped_running = ctrl.stopped_start > T_NONE / 2
+    new_stopped_start = jnp.where(
+        (speed_kmh < 1.0) & ~ctrl.waiting_for_traffic,
+        jnp.where(stopped_running, ctrl.stopped_start, now),
+        T_NONE,
+    )
+    stopped_duration = jnp.where(new_stopped_start > T_NONE / 2, now - new_stopped_start, 0.0)
+    unstick = (stopped_duration > 3.0) & ~light_gate & ~overtake_active & ~in_hard
+    unstick_throttle = jnp.where(stopped_duration > 6.0, 0.85, 0.7)
+    unstick_steer = jnp.where(hint_mag > 0.05, jnp.clip(hint * 0.5, -0.5, 0.5), steer_normal)
+
+    # --- banded speed governor (:1092-1127) ---
+    deficit = (current_target - speed_kmh) / jnp.maximum(current_target, 1.0)
+    gov_throttle = jnp.select(
+        [
+            in_curve & (speed_kmh > current_target + 8.0),
+            in_curve & (speed_kmh > current_target + 3.0),
+            speed_kmh > max_speed + 10.0,
+            speed_kmh > max_speed + 5.0,
+            speed_kmh > max_speed,
+            speed_kmh > current_target + 5.0,
+            speed_kmh > current_target,
+            speed_kmh < current_target * 0.4,
+            speed_kmh < current_target * 0.7,
+            speed_kmh < current_target,
+        ],
+        [
+            0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+            0.1,
+            jnp.maximum(gas_normal, 0.8),
+            jnp.maximum(gas_normal, 0.6),
+            jnp.maximum(gas_normal, 0.3 + deficit * 0.35),
+        ],
+        default=gas_normal,
+    )
+    gov_brake = jnp.select(
+        [
+            in_curve & (speed_kmh > current_target + 8.0),
+            in_curve & (speed_kmh > current_target + 3.0),
+            speed_kmh > max_speed + 10.0,
+            speed_kmh > max_speed + 5.0,
+            speed_kmh > max_speed,
+            speed_kmh > current_target + 5.0,
+        ],
+        [0.4, 0.2, 0.9, 0.6, 0.4, 0.15],
+        default=0.0,
+    )
+    gov_brake = jnp.where(gov_brake > 0.0, jnp.clip(gov_brake * w.brake_factor, 0.0, 1.0), 0.0)
+
+    # Traction control: cap launch throttle below the weather threshold.
+    tc = (w.traction_control > 0.5) & (speed_kmh < w.traction_speed_threshold_kmh)
+    gov_throttle = jnp.where(tc, jnp.minimum(gov_throttle, 0.5), gov_throttle)
+
+    # ------------------------------------------------------------------
+    # Select final control by priority (low -> high overrides).
+    # ------------------------------------------------------------------
+    steer_f = steer_normal
+    thr_f = gov_throttle
+    brk_f = gov_brake
+    status = jnp.asarray(ST_OK, jnp.int32)
+    reverse = jnp.asarray(False)
+
+    # UNSTICK overrides the governor.
+    steer_f = jnp.where(unstick, unstick_steer, steer_f)
+    thr_f = jnp.where(unstick, unstick_throttle, thr_f)
+    brk_f = jnp.where(unstick, 0.0, brk_f)
+    status = jnp.where(unstick, ST_UNSTICK, status)
+
+    # Hard obstacle brake.
+    steer_f = jnp.where(in_hard, steer_normal, steer_f)
+    thr_f = jnp.where(in_hard, 0.0, thr_f)
+    brk_f = jnp.where(in_hard, hard_brake_force, brk_f)
+    status = jnp.where(in_hard, ST_BRAKE, status)
+
+    # Overtake / reverse override.
+    ov_final_steer = jnp.clip(sm_steer, -0.5, 0.5)  # smoothed(ov_steer + hint*0.2)
+    steer_f = jnp.where(overtake_active & lane_active, ov_final_steer, steer_f)
+    thr_f = jnp.where(overtake_active & lane_active, ov_throttle, thr_f)
+    brk_f = jnp.where(overtake_active & lane_active, 0.0, brk_f)
+    status = jnp.where(
+        overtake_active & lane_active,
+        jnp.where(ov_state == OV_LEFT, ST_OVERTAKE_L, ST_OVERTAKE_R),
+        status,
+    )
+    rev_steer = jnp.clip(-hint * 0.3, -0.5, 0.5)
+    steer_f = jnp.where(rev_backing, rev_steer, steer_f)
+    thr_f = jnp.where(rev_backing, 0.4, thr_f)
+    brk_f = jnp.where(rev_backing, 0.0, brk_f)
+    reverse = rev_backing
+    status = jnp.where(rev_backing, ST_REVERSE, status)
+
+    # Lights take absolute priority.
+    steer_f = jnp.where(light_gate, sm_steer, steer_f)
+    thr_f = jnp.where(light_gate, 0.0, thr_f)
+    brk_f = jnp.where(
+        red, jnp.clip(0.8 * w.brake_factor, 0.0, 1.0),
+        jnp.where(yellow_stop, jnp.clip(0.5 * w.brake_factor, 0.0, 1.0), brk_f),
+    )
+    reverse = reverse & ~light_gate
+    status = jnp.where(yellow_stop, ST_YELLOW, status)
+    status = jnp.where(red, ST_RED, status)
+
+    # ------------------------------------------------------------------
+    # State bookkeeping + events
+    # ------------------------------------------------------------------
+    red_stop_event = red & ~ctrl.waiting_for_red
+    waiting_for_red = red
+    red_clear_time = jnp.where(light_gate, ctrl.red_clear_time, now)
+
+    entering_wait = (in_hard | in_slow) & ~light_gate & ~overtake_active
+    traffic_wait_start = jnp.where(
+        entering_wait,
+        jnp.where(ctrl.traffic_wait_start > T_NONE / 2, ctrl.traffic_wait_start, now),
+        T_NONE,
+    )
+    obstacle_wait_start = jnp.where(
+        entering_wait,
+        jnp.where(ctrl.obstacle_wait_start > T_NONE / 2, ctrl.obstacle_wait_start, now),
+        T_NONE,
+    )
+    waiting_for_traffic = entering_wait
+    obstacle_brake_event = in_hard & ~light_gate & ~overtake_active
+
+    new_ctrl = CtrlState(
+        smoothing=smoothing,
+        waiting_for_red=waiting_for_red,
+        red_clear_time=red_clear_time,
+        waiting_for_traffic=waiting_for_traffic,
+        traffic_wait_start=traffic_wait_start,
+        obstacle_wait_start=obstacle_wait_start,
+        stopped_start=jnp.where(unstick | (speed_kmh >= 1.0), new_stopped_start, new_stopped_start),
+        ov_state=ov_state.astype(jnp.int32),
+        ov_start=ov_start,
+    )
+
+    control = jnp.stack([
+        jnp.clip(steer_f, -1.0, 1.0),
+        jnp.clip(thr_f, 0.0, 1.0),
+        jnp.clip(brk_f, 0.0, 1.0),
+    ])
+    events = {
+        "red_light_stop": red_stop_event,
+        "obstacle_brake": obstacle_brake_event,
+        "teleport_request": teleport_request,
+    }
+    return control, reverse, status, new_ctrl, events

@@ -1,0 +1,338 @@
+"""RoadNetwork: the on-device map format, and the host-side graph builder.
+
+The map is a directed lane-waypoint graph sampled at ~2 m resolution (the same
+sampling the reference requests from CARLA's GlobalRoutePlannerDAO,
+model/autonomous_drive.py:409-412), stored as flat arrays so every query —
+nearest waypoint, on-road test, route localization — is a dense gather/argmin
+that XLA maps onto the VPU, `vmap`-able over env batches.
+
+A ground texture (road / lane-marking / sidewalk masks on a regular grid) is
+pre-rasterized on the host for the camera renderer: per-pixel map lookups
+become one bilinear texture fetch instead of a nearest-segment search.
+
+Build inputs are plain node/edge graphs, produced either procedurally
+(`maps/town.py`, the Town01 stand-in) or from OSM XML (`maps/osm.py`, the
+counterpart of the reference's osm_to_xodr.py toolchain).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+LANE_WIDTH = 3.5
+SIDEWALK_WIDTH = 2.0
+WP_SPACING = 2.0
+JUNCTION_SETBACK = 9.0
+MAX_NEXT = 3
+
+# Turn classes for junction connectors (match reference command encoding:
+# 0=LANEFOLLOW, 1=LEFT, 2=RIGHT, 3=STRAIGHT — model/collect_data.py:601-614).
+TURN_FOLLOW, TURN_LEFT, TURN_RIGHT, TURN_STRAIGHT = 0, 1, 2, 3
+
+# Traffic-light cycle (seconds): green then yellow per phase group, two groups.
+LIGHT_GREEN_S = 10.0
+LIGHT_YELLOW_S = 3.0
+LIGHT_PHASE_S = LIGHT_GREEN_S + LIGHT_YELLOW_S
+LIGHT_CYCLE_S = 2.0 * LIGHT_PHASE_S
+LIGHT_GREEN, LIGHT_YELLOW, LIGHT_RED, LIGHT_NONE = 0, 1, 2, 3
+
+
+@struct.dataclass
+class RoadNetwork:
+    """Static map data (device arrays). W waypoints, L lights, S spawn points."""
+
+    wp_xy: jnp.ndarray  # [W, 2] f32
+    wp_yaw: jnp.ndarray  # [W] f32
+    wp_next: jnp.ndarray  # [W, MAX_NEXT] i32, padded with own index
+    wp_num_next: jnp.ndarray  # [W] i32
+    wp_prev: jnp.ndarray  # [W] i32 — one predecessor (for teleport-back)
+    wp_turn: jnp.ndarray  # [W] i32 — TURN_* class (junction connectors)
+    wp_is_junction: jnp.ndarray  # [W] bool
+    wp_left: jnp.ndarray  # [W] i32 — adjacent same-direction lane wp, -1 if none
+    wp_right: jnp.ndarray  # [W] i32
+    spawn_wp: jnp.ndarray  # [S] i32 — spawn-point waypoint indices
+
+    light_xy: jnp.ndarray  # [L, 2] — stop-line position
+    light_yaw: jnp.ndarray  # [L] — heading of controlled traffic
+    light_group: jnp.ndarray  # [L] i32 — phase group (0 or 1)
+    light_wp: jnp.ndarray  # [L] i32 — waypoint at the stop line
+
+    texture: jnp.ndarray  # [TH, TW, 3] uint8 masks: road, marking, sidewalk
+    tex_origin: jnp.ndarray  # [2] world xy of texel (0, 0)
+    tex_scale: jnp.ndarray  # scalar meters per texel
+
+    @property
+    def num_waypoints(self) -> int:
+        return self.wp_xy.shape[0]
+
+    @property
+    def num_lights(self) -> int:
+        return self.light_xy.shape[0]
+
+    @property
+    def num_spawn_points(self) -> int:
+        return self.spawn_wp.shape[0]
+
+
+def light_states(net: RoadNetwork, time_s: jnp.ndarray) -> jnp.ndarray:
+    """Traffic-light state per light at sim time: 0 green / 1 yellow / 2 red.
+
+    Two phase groups alternate on a fixed cycle (group 0 = east-west approaches,
+    group 1 = north-south), the stand-in for CARLA's junction light controllers.
+    """
+    t = jnp.mod(time_s, LIGHT_CYCLE_S)
+    local = t - net.light_group.astype(jnp.float32) * LIGHT_PHASE_S
+    local = jnp.mod(local, LIGHT_CYCLE_S)
+    return jnp.where(
+        local < LIGHT_GREEN_S,
+        LIGHT_GREEN,
+        jnp.where(local < LIGHT_PHASE_S, LIGHT_YELLOW, LIGHT_RED),
+    ).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Host-side builder (numpy)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GraphSpec:
+    """Plain node/edge road graph. Nodes [N,2]; edges as (i, j) index pairs."""
+
+    nodes: np.ndarray
+    edges: list
+    lanes_per_dir: int = 1
+
+
+def _bezier(p0, h0, p1, h1, n):
+    """Cubic bezier from p0 with heading h0 to p1 with heading h1, n samples."""
+    d = np.linalg.norm(p1 - p0)
+    c0 = p0 + h0 * d * 0.4
+    c1 = p1 - h1 * d * 0.4
+    t = np.linspace(0.0, 1.0, n)[:, None]
+    pts = ((1 - t) ** 3 * p0 + 3 * (1 - t) ** 2 * t * c0
+           + 3 * (1 - t) * t ** 2 * c1 + t ** 3 * p1)
+    return pts
+
+
+def _yaws_from_polyline(pts):
+    d = np.diff(pts, axis=0)
+    yaw = np.arctan2(d[:, 1], d[:, 0])
+    return np.concatenate([yaw, yaw[-1:]])
+
+
+def build_network(
+    spec: GraphSpec,
+    tex_scale: float = 0.5,
+    spawn_spacing: float = 12.0,
+    with_lights: bool = True,
+) -> RoadNetwork:
+    """Compile a node/edge graph into a RoadNetwork (host-side, numpy)."""
+    nodes = np.asarray(spec.nodes, np.float64)
+    degree = np.zeros(len(nodes), np.int64)
+    for i, j in spec.edges:
+        degree[i] += 1
+        degree[j] += 1
+
+    wp_xy, wp_yaw, wp_turn, wp_junc = [], [], [], []
+    wp_left, wp_right = [], []
+    next_lists: list[list[int]] = []
+    prev_of: list[int] = []
+
+    # Per directed lane bookkeeping: (in_node, out_node, lane_k) -> (first_wp, last_wp)
+    lane_entry: dict = {}
+    lane_exit: dict = {}
+    # For junction connectors: incoming lanes ending at node n / outgoing starting at n.
+    incoming: dict[int, list] = {}
+    outgoing: dict[int, list] = {}
+
+    def add_polyline(pts, turn, junction, left_offset_partner=None):
+        yaws = _yaws_from_polyline(pts)
+        base = len(wp_xy)
+        n = len(pts)
+        for k in range(n):
+            wp_xy.append(pts[k])
+            wp_yaw.append(yaws[k])
+            wp_turn.append(turn)
+            wp_junc.append(junction)
+            wp_left.append(-1)
+            wp_right.append(-1)
+            next_lists.append([base + k + 1] if k + 1 < n else [])
+            prev_of.append(base + k - 1 if k > 0 else -1)
+        return base, base + n - 1
+
+    lane_offsets = [LANE_WIDTH * (0.5 + k) for k in range(spec.lanes_per_dir)]
+
+    for eid, (i, j) in enumerate(spec.edges):
+        for (a, b) in ((i, j), (j, i)):
+            pa, pb = nodes[a], nodes[b]
+            d = pb - pa
+            length = np.linalg.norm(d)
+            h = d / max(length, 1e-9)
+            right = np.array([h[1], -h[0]])  # right-hand side of travel
+            sa = JUNCTION_SETBACK if degree[a] >= 3 else 2.0
+            sb = JUNCTION_SETBACK if degree[b] >= 3 else 2.0
+            usable = length - sa - sb
+            if usable < WP_SPACING * 2:
+                continue
+            n = max(2, int(round(usable / WP_SPACING)) + 1)
+            t = np.linspace(sa, length - sb, n)[:, None]
+            lane_ids = []
+            for k, off in enumerate(lane_offsets):
+                pts = pa + h * t + right * off
+                first, last = add_polyline(pts, TURN_FOLLOW, False)
+                lane_ids.append((first, last, n))
+                incoming.setdefault(b, []).append((first, last, h.copy(), eid, k))
+                outgoing.setdefault(a, []).append((first, last, h.copy(), eid, k))
+            # Same-direction adjacency between lanes k and k+1 (for overtake).
+            for k in range(len(lane_ids) - 1):
+                f0, _, n0 = lane_ids[k]
+                f1, _, _ = lane_ids[k + 1]
+                for q in range(n0):
+                    wp_right[f0 + q] = f1 + q  # lane k+1 is further right
+                    wp_left[f1 + q] = f0 + q
+
+    # Junction connectors.
+    for nidx in range(len(nodes)):
+        ins = incoming.get(nidx, [])
+        outs = outgoing.get(nidx, [])
+        for (fi, li, hi, ei, ki) in ins:
+            end_pt = np.asarray(wp_xy[li])
+            for (fo, lo, ho, eo, ko) in outs:
+                if eo == ei:  # no U-turns back onto the same road
+                    continue
+                start_pt = np.asarray(wp_xy[fo])
+                gap = np.linalg.norm(start_pt - end_pt)
+                if gap > 2.5 * (JUNCTION_SETBACK * 2 + LANE_WIDTH * 4):
+                    continue
+                cross = hi[0] * ho[1] - hi[1] * ho[0]
+                dot = float(np.dot(hi, ho))
+                if dot > 0.7:
+                    turn = TURN_STRAIGHT
+                elif cross > 0:
+                    turn = TURN_LEFT
+                else:
+                    turn = TURN_RIGHT
+                n = max(3, int(round(gap / WP_SPACING)) + 1)
+                pts = _bezier(end_pt, hi, start_pt, ho, n + 2)[1:-1]
+                junction = degree[nidx] >= 3
+                first, last = add_polyline(pts, turn if junction else TURN_FOLLOW, bool(junction))
+                next_lists[li].append(first)
+                if prev_of[first] < 0:
+                    prev_of[first] = li
+                next_lists[last].append(fo)
+                if prev_of[fo] < 0:
+                    prev_of[fo] = last
+
+    W = len(wp_xy)
+    if W == 0:
+        raise ValueError("graph produced no waypoints")
+    xy = np.asarray(wp_xy, np.float32)
+    yaw = np.asarray(wp_yaw, np.float32)
+    turn = np.asarray(wp_turn, np.int32)
+    junc = np.asarray(wp_junc, bool)
+    left = np.asarray(wp_left, np.int32)
+    right_arr = np.asarray(wp_right, np.int32)
+    nxt = np.full((W, MAX_NEXT), -1, np.int32)
+    num_next = np.zeros(W, np.int32)
+    for w, lst in enumerate(next_lists):
+        lst = lst[:MAX_NEXT]
+        num_next[w] = len(lst)
+        for k, v in enumerate(lst):
+            nxt[w, k] = v
+    # Pad successor slots with own index so gathers stay in-bounds.
+    own = np.arange(W, dtype=np.int32)[:, None]
+    nxt = np.where(nxt < 0, own, nxt)
+    prev = np.asarray(prev_of, np.int32)
+    prev = np.where(prev < 0, np.arange(W, dtype=np.int32), prev)
+
+    # Spawn points: non-junction lane waypoints, spaced along each lane.
+    stride = max(1, int(round(spawn_spacing / WP_SPACING)))
+    spawn = [w for w in range(W) if not junc[w] and (w % stride == 0) and num_next[w] > 0]
+    spawn_wp = np.asarray(spawn, np.int32)
+
+    # Traffic lights: one per incoming lane at junction nodes (degree >= 3).
+    lxy, lyaw, lgroup, lwp = [], [], [], []
+    if with_lights:
+        for nidx in range(len(nodes)):
+            if degree[nidx] < 3:
+                continue
+            for (fi, li, hi, ei, ki) in incoming.get(nidx, []):
+                lxy.append(wp_xy[li])
+                lyaw.append(np.arctan2(hi[1], hi[0]))
+                lgroup.append(0 if abs(hi[0]) >= abs(hi[1]) else 1)
+                lwp.append(li)
+    L = len(lxy)
+    light_xy = np.asarray(lxy, np.float32).reshape(L, 2)
+    light_yaw = np.asarray(lyaw, np.float32)
+    light_group = np.asarray(lgroup, np.int32)
+    light_wp = np.asarray(lwp, np.int32)
+
+    texture, origin = _rasterize_texture(xy, yaw, junc, tex_scale)
+
+    return RoadNetwork(
+        wp_xy=jnp.asarray(xy),
+        wp_yaw=jnp.asarray(yaw),
+        wp_next=jnp.asarray(nxt),
+        wp_num_next=jnp.asarray(num_next),
+        wp_prev=jnp.asarray(prev),
+        wp_turn=jnp.asarray(turn),
+        wp_is_junction=jnp.asarray(junc),
+        wp_left=jnp.asarray(left),
+        wp_right=jnp.asarray(right_arr),
+        spawn_wp=jnp.asarray(spawn_wp),
+        light_xy=jnp.asarray(light_xy),
+        light_yaw=jnp.asarray(light_yaw),
+        light_group=jnp.asarray(light_group),
+        light_wp=jnp.asarray(light_wp),
+        texture=jnp.asarray(texture),
+        tex_origin=jnp.asarray(origin, jnp.float32),
+        tex_scale=jnp.asarray(tex_scale, jnp.float32),
+    )
+
+
+def _rasterize_texture(xy: np.ndarray, yaw: np.ndarray, junc: np.ndarray, scale: float):
+    """Rasterize road/marking/sidewalk masks on a regular grid (host, numpy).
+
+    Marks every texel within LANE_WIDTH of a lane-center waypoint as road,
+    within road+SIDEWALK as sidewalk, and paints dashed center markings along
+    non-junction lane waypoints.
+    """
+    margin = 16.0
+    lo = xy.min(axis=0) - margin
+    hi = xy.max(axis=0) + margin
+    shape = np.ceil((hi - lo) / scale).astype(np.int64)
+    TH, TW = int(shape[1]), int(shape[0])
+    # Round up to multiples of 8 for friendlier TPU layouts.
+    TH += (-TH) % 8
+    TW += (-TW) % 8
+    tex = np.zeros((TH, TW, 3), np.uint8)
+
+    def stamp(mask_idx, pts, radius, value=255):
+        r = int(np.ceil(radius / scale))
+        ij = np.floor((pts - lo) / scale).astype(np.int64)
+        yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
+        disk = (yy * yy + xx * xx) * (scale * scale) <= radius * radius
+        dy, dx = np.nonzero(disk)
+        dy, dx = dy - r, dx - r
+        rows = (ij[:, 1][:, None] + dy[None, :]).ravel()
+        cols = (ij[:, 0][:, None] + dx[None, :]).ravel()
+        ok = (rows >= 0) & (rows < TH) & (cols >= 0) & (cols < TW)
+        tex[rows[ok], cols[ok], mask_idx] = value
+
+    # Sidewalk band first (under road), then road, then markings.
+    stamp(2, xy, LANE_WIDTH / 2 + LANE_WIDTH + SIDEWALK_WIDTH)
+    stamp(0, xy, LANE_WIDTH / 2 + LANE_WIDTH * 0.75)
+    # Dashed center-line markings: every other pair of waypoints, lane side edge.
+    lane_pts = xy[~junc]
+    lane_yaw = yaw[~junc]
+    keep = (np.arange(len(lane_pts)) % 3) != 2  # 2-on / 1-off dash pattern
+    right = np.stack([np.sin(lane_yaw), -np.cos(lane_yaw)], axis=-1)
+    center_edge = lane_pts - right * (LANE_WIDTH / 2)  # road centerline side
+    stamp(1, center_edge[keep], 0.3)
+
+    return tex, lo.astype(np.float32)

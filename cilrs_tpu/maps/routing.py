@@ -1,0 +1,259 @@
+"""Route planning (host-side graph search) and on-device route following.
+
+Host side replaces CARLA's GlobalRoutePlanner/DAO (wrapped at reference
+model/autonomous_drive.py:405-474): Dijkstra over the directed waypoint graph,
+emitting a fixed-length `Route` pytree. A native C++ implementation of the
+search lives in native/roadgraph.cpp (used when built; numpy fallback here).
+
+Device side reproduces the reference's route API exactly, but vectorized:
+ - localization with the -5/+50 search window (:427-434)
+ - command lookahead at offsets [3, 5, 8, 12], first non-FOLLOW wins (:435-441)
+ - steer hint = normalized 2-D cross product vs. waypoint@+5, clipped (:448-462)
+ - route complete when < 10 m from the final waypoint (:464-468)
+
+Routes are fixed-shape; episodes that need replanning use a `RoutePool` of
+pre-traced routes and switch an integer route id on device.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from cilrs_tpu.maps.network import RoadNetwork
+
+ROUTE_MAX = 1024  # waypoints (~2 km at 2 m spacing)
+CMD_FOLLOW, CMD_LEFT, CMD_RIGHT, CMD_STRAIGHT = 0, 1, 2, 3
+LOCALIZE_BACK, LOCALIZE_FWD = 5, 50
+LOOKAHEAD_OFFSETS = (3, 5, 8, 12)
+HINT_OFFSET = 5
+COMPLETE_DIST = 10.0
+
+
+@struct.dataclass
+class Route:
+    """One traced route, fixed length ROUTE_MAX, padded with the last waypoint."""
+
+    xy: jnp.ndarray  # [R, 2]
+    yaw: jnp.ndarray  # [R]
+    option: jnp.ndarray  # [R] i32 — TURN_*/CMD_* class of each waypoint
+    wp_index: jnp.ndarray  # [R] i32 — original network waypoint ids
+    valid: jnp.ndarray  # [R] bool
+    length: jnp.ndarray  # scalar i32 — number of valid entries
+
+
+@struct.dataclass
+class RoutePool:
+    """K stacked routes; envs pick one by integer id (device-side replanning)."""
+
+    xy: jnp.ndarray  # [K, R, 2]
+    yaw: jnp.ndarray  # [K, R]
+    option: jnp.ndarray  # [K, R]
+    wp_index: jnp.ndarray  # [K, R]
+    valid: jnp.ndarray  # [K, R]
+    length: jnp.ndarray  # [K]
+
+    @property
+    def num_routes(self) -> int:
+        return self.xy.shape[0]
+
+    def get(self, k: jnp.ndarray) -> Route:
+        return Route(
+            xy=self.xy[k], yaw=self.yaw[k], option=self.option[k],
+            wp_index=self.wp_index[k], valid=self.valid[k], length=self.length[k],
+        )
+
+
+def stack_routes(routes: list[Route]) -> RoutePool:
+    return RoutePool(
+        xy=jnp.stack([r.xy for r in routes]),
+        yaw=jnp.stack([r.yaw for r in routes]),
+        option=jnp.stack([r.option for r in routes]),
+        wp_index=jnp.stack([r.wp_index for r in routes]),
+        valid=jnp.stack([r.valid for r in routes]),
+        length=jnp.stack([r.length for r in routes]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side tracing
+# ---------------------------------------------------------------------------
+
+_native = None
+
+
+def _get_native():
+    """Lazy import of the C++ roadgraph extension (optional fast path)."""
+    global _native
+    if _native is None:
+        try:
+            from cilrs_tpu.maps import native_graph
+
+            _native = native_graph
+        except Exception:
+            _native = False
+    return _native
+
+
+class _HostGraph:
+    """Cached numpy views of a network's graph arrays for host-side search."""
+
+    def __init__(self, net: RoadNetwork):
+        self.xy = np.asarray(net.wp_xy)
+        self.yaw = np.asarray(net.wp_yaw)
+        self.next = np.asarray(net.wp_next)
+        self.num_next = np.asarray(net.wp_num_next)
+        self.turn = np.asarray(net.wp_turn)
+        self.W = self.xy.shape[0]
+        nat = _get_native()
+        self._nat_graph = nat.build(self.xy, self.next, self.num_next) if nat else None
+
+    def dijkstra(self, src: int, dst: int) -> list[int]:
+        if self._nat_graph is not None:
+            path = _get_native().shortest_path(self._nat_graph, int(src), int(dst))
+            return list(path)
+        dist = np.full(self.W, np.inf)
+        prev = np.full(self.W, -1, np.int64)
+        dist[src] = 0.0
+        pq = [(0.0, src)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if u == dst:
+                break
+            if d > dist[u]:
+                continue
+            for k in range(self.num_next[u]):
+                v = int(self.next[u, k])
+                if v == u:
+                    continue
+                nd = d + float(np.linalg.norm(self.xy[v] - self.xy[u]))
+                if nd < dist[v]:
+                    dist[v] = nd
+                    prev[v] = u
+                    heapq.heappush(pq, (nd, v))
+        if not np.isfinite(dist[dst]):
+            return []
+        path = [dst]
+        while path[-1] != src:
+            p = int(prev[path[-1]])
+            if p < 0:
+                return []
+            path.append(p)
+        return path[::-1]
+
+
+_graph_cache: dict[int, _HostGraph] = {}
+
+
+def host_graph(net: RoadNetwork) -> _HostGraph:
+    key = id(net.wp_xy)
+    g = _graph_cache.get(key)
+    if g is None:
+        g = _HostGraph(net)
+        _graph_cache[key] = g
+    return g
+
+
+def trace_route(net: RoadNetwork, start_wp: int, end_wp: int) -> Route | None:
+    """Trace a route between two waypoint indices; None if unreachable."""
+    g = host_graph(net)
+    path = g.dijkstra(int(start_wp), int(end_wp))
+    if not path or len(path) < 4:
+        return None
+    path = path[:ROUTE_MAX]
+    n = len(path)
+    idx = np.asarray(path, np.int32)
+    pad = np.full(ROUTE_MAX - n, idx[-1], np.int32)
+    idx_full = np.concatenate([idx, pad])
+    valid = np.zeros(ROUTE_MAX, bool)
+    valid[:n] = True
+    return Route(
+        xy=jnp.asarray(g.xy[idx_full], jnp.float32),
+        yaw=jnp.asarray(g.yaw[idx_full], jnp.float32),
+        option=jnp.asarray(g.turn[idx_full], jnp.int32),
+        wp_index=jnp.asarray(idx_full),
+        valid=jnp.asarray(valid),
+        length=jnp.asarray(n, jnp.int32),
+    )
+
+
+def random_route(
+    net: RoadNetwork,
+    rng: np.random.RandomState,
+    min_dist: float = 80.0,
+    max_dist: float = 300.0,
+    samples: int = 30,
+) -> tuple[Route, int, int] | None:
+    """Reference plan_route semantics: best random destination 80-300 m away
+    (model/autonomous_drive.py:1469-1485), 30 candidate samples."""
+    spawns = np.asarray(net.spawn_wp)
+    g = host_graph(net)
+    start = int(spawns[rng.randint(len(spawns))])
+    best = None
+    p0 = g.xy[start]
+    for _ in range(samples):
+        cand = int(spawns[rng.randint(len(spawns))])
+        d = float(np.linalg.norm(g.xy[cand] - p0))
+        if min_dist <= d <= max_dist:
+            r = trace_route(net, start, cand)
+            if r is not None:
+                return r, start, cand
+        if best is None or abs(d - 150.0) < best[0]:
+            best = (abs(d - 150.0), cand)
+    if best is not None:
+        r = trace_route(net, start, int(best[1]))
+        if r is not None:
+            return r, start, int(best[1])
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Device-side route following
+# ---------------------------------------------------------------------------
+
+
+def localize(route: Route, cur_idx: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Closest route index within the [-5, +50) window around cur_idx."""
+    offsets = jnp.arange(-LOCALIZE_BACK, LOCALIZE_FWD)
+    cand = jnp.clip(cur_idx + offsets, 0, route.length - 1)
+    pts = route.xy[cand]
+    d2 = jnp.sum((pts - pos) ** 2, axis=-1)
+    return cand[jnp.argmin(d2)].astype(jnp.int32)
+
+
+def get_command(route: Route, cur_idx: jnp.ndarray) -> jnp.ndarray:
+    """High-level command via lookahead offsets; first non-FOLLOW wins."""
+    last = route.length - 1
+    opts = jnp.stack(
+        [route.option[jnp.minimum(cur_idx + o, last)] for o in LOOKAHEAD_OFFSETS]
+    )
+    nonzero = opts != CMD_FOLLOW
+    any_turn = jnp.any(nonzero)
+    first = opts[jnp.argmax(nonzero)]
+    fallback = route.option[jnp.minimum(cur_idx + 8, last)]
+    return jnp.where(any_turn, first, fallback).astype(jnp.int32)
+
+
+def steer_hint(route: Route, cur_idx: jnp.ndarray, pos: jnp.ndarray, yaw: jnp.ndarray) -> jnp.ndarray:
+    """Normalized cross-product steer hint toward waypoint@+HINT_OFFSET."""
+    last = route.length - 1
+    target = route.xy[jnp.minimum(cur_idx + HINT_OFFSET, last)]
+    d = target - pos
+    dist = jnp.sqrt(jnp.sum(d * d) + 1e-12)
+    fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)])
+    cross = fwd[0] * d[1] - fwd[1] * d[0]
+    hint = cross / jnp.maximum(dist, 1.0)
+    hint = jnp.where(dist < 0.1, 0.0, hint)
+    return jnp.clip(hint, -1.0, 1.0)
+
+
+def distance_remaining(route: Route, pos: jnp.ndarray) -> jnp.ndarray:
+    end = route.xy[route.length - 1]
+    return jnp.sqrt(jnp.sum((end - pos) ** 2) + 1e-12)
+
+
+def is_complete(route: Route, pos: jnp.ndarray, threshold: float = COMPLETE_DIST) -> jnp.ndarray:
+    return distance_remaining(route, pos) < threshold

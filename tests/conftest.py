@@ -1,0 +1,28 @@
+"""Test environment: force an 8-device virtual CPU platform.
+
+This is the standard way to exercise pjit/shard_map/mesh code without TPU pods
+(SURVEY.md §4): XLA fakes 8 host devices, so sharding tests validate the real
+multi-chip program structure.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mini_town():
+    from cilrs_tpu.maps.town import make_mini_town
+
+    return make_mini_town()
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)

@@ -1,0 +1,125 @@
+import jax.numpy as jnp
+import numpy as np
+
+from cilrs_tpu.maps import routing
+from cilrs_tpu.maps.network import (
+    LIGHT_GREEN, LIGHT_RED, LIGHT_YELLOW, TURN_FOLLOW, light_states,
+)
+from cilrs_tpu.maps.queries import is_on_road, nearest_waypoint, sample_texture
+
+
+def test_network_basic(mini_town):
+    net = mini_town
+    W = net.num_waypoints
+    assert W > 100
+    assert net.num_spawn_points > 10
+    assert net.num_lights >= 4
+    # Successors are in-bounds and mostly not self.
+    nxt = np.asarray(net.wp_next)
+    assert nxt.min() >= 0 and nxt.max() < W
+    num_next = np.asarray(net.wp_num_next)
+    assert (num_next > 0).mean() > 0.9  # lane ends without connectors are rare
+
+
+def test_nearest_waypoint_and_onroad(mini_town):
+    net = mini_town
+    wp0 = np.asarray(net.wp_xy)[0]
+    idx, dist = nearest_waypoint(net, jnp.asarray(wp0))
+    assert float(dist) < 1e-3
+    assert bool(is_on_road(net, jnp.asarray(wp0)))
+    # 30 m off any road
+    far = jnp.asarray(np.asarray(net.wp_xy).min(axis=0) - 40.0)
+    assert not bool(is_on_road(net, far))
+
+
+def test_texture_sampling(mini_town):
+    net = mini_town
+    wp0 = np.asarray(net.wp_xy)[10]
+    tex = sample_texture(net, jnp.asarray(wp0))
+    assert float(tex[0]) > 0.5  # on-road texel
+    far = jnp.asarray(np.asarray(net.wp_xy).min(axis=0) - 40.0)
+    tex_far = sample_texture(net, far)
+    assert float(tex_far[0]) < 0.1
+
+
+def test_light_states_cycle(mini_town):
+    net = mini_town
+    s0 = np.asarray(light_states(net, jnp.asarray(0.0)))
+    s15 = np.asarray(light_states(net, jnp.asarray(15.0)))
+    assert set(np.unique(s0)).issubset({LIGHT_GREEN, LIGHT_YELLOW, LIGHT_RED})
+    groups = np.asarray(net.light_group)
+    if (groups == 0).any() and (groups == 1).any():
+        # At t=0 group 0 is green, group 1 is red.
+        assert (s0[groups == 0] == LIGHT_GREEN).all()
+        assert (s0[groups == 1] == LIGHT_RED).all()
+        # Second phase (t=15): groups flip.
+        assert (s15[groups == 1] == LIGHT_GREEN).all()
+        assert (s15[groups == 0] == LIGHT_RED).all()
+
+
+def test_trace_route_and_follow(mini_town):
+    net = mini_town
+    spawns = np.asarray(net.spawn_wp)
+    r = None
+    for dst in range(1, len(spawns)):
+        r = routing.trace_route(net, int(spawns[0]), int(spawns[dst]))
+        if r is not None and int(r.length) > 30:
+            break
+    assert r is not None and int(r.length) > 30
+    # Route waypoints are contiguous (~2 m apart).
+    xy = np.asarray(r.xy)[: int(r.length)]
+    gaps = np.linalg.norm(np.diff(xy, axis=0), axis=1)
+    assert gaps.max() < 8.0
+
+    # Localization finds index 0 at the start.
+    idx = routing.localize(r, jnp.asarray(0, jnp.int32), jnp.asarray(xy[0]))
+    assert int(idx) == 0
+    idx2 = routing.localize(r, jnp.asarray(0, jnp.int32), jnp.asarray(xy[20]))
+    assert int(idx2) == 20
+
+    cmd = routing.get_command(r, idx)
+    assert 0 <= int(cmd) <= 3
+
+    # Steer hint points toward the route: near zero when aligned.
+    yaw0 = float(np.asarray(r.yaw)[0])
+    h = routing.steer_hint(r, idx, jnp.asarray(xy[0]), jnp.asarray(yaw0))
+    assert abs(float(h)) < 0.5
+
+    # Completion at the end point.
+    end = xy[-1]
+    assert bool(routing.is_complete(r, jnp.asarray(end)))
+    assert not bool(routing.is_complete(r, jnp.asarray(xy[0])))
+
+
+def test_random_route(mini_town, rng):
+    out = routing.random_route(mini_town, rng, min_dist=50.0, max_dist=250.0)
+    assert out is not None
+    r, s, d = out
+    assert int(r.length) > 10
+
+
+def test_route_pool(mini_town, rng):
+    routes = []
+    for _ in range(3):
+        out = routing.random_route(mini_town, rng, min_dist=50.0, max_dist=250.0)
+        assert out is not None
+        routes.append(out[0])
+    pool = routing.stack_routes(routes)
+    assert pool.num_routes == 3
+    r1 = pool.get(jnp.asarray(1))
+    np.testing.assert_allclose(np.asarray(r1.xy), np.asarray(routes[1].xy))
+
+
+def test_commands_cover_turns(mini_town, rng):
+    # Across several routes we should see at least one turn command.
+    seen = set()
+    spawns = np.asarray(mini_town.spawn_wp)
+    for _ in range(10):
+        out = routing.random_route(mini_town, rng, min_dist=60.0, max_dist=300.0)
+        if out is None:
+            continue
+        r = out[0]
+        opts = np.asarray(r.option)[: int(r.length)]
+        seen.update(np.unique(opts).tolist())
+    assert TURN_FOLLOW in seen
+    assert len(seen - {TURN_FOLLOW}) >= 1, f"no turns seen: {seen}"

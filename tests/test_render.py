@@ -1,0 +1,87 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cilrs_tpu.config import WEATHER_NAMES
+from cilrs_tpu.core.state import make_world
+from cilrs_tpu.maps.network import light_states
+from cilrs_tpu.render import render_frame
+from cilrs_tpu.render.camera import CameraSpec, camera_position, ray_directions
+
+
+def _world_on_road(net, weather_idx=0):
+    wp = int(np.asarray(net.spawn_wp)[0])
+    xy = np.asarray(net.wp_xy)[wp]
+    yaw = float(np.asarray(net.wp_yaw)[wp])
+    world = make_world(num_vehicles=4, num_pedestrians=2, weather_idx=weather_idx)
+    # NPC 25 m ahead in the lane; pedestrian to the side.
+    fwd = np.array([np.cos(yaw), np.sin(yaw)])
+    world = world.replace(
+        veh_pos=jnp.asarray(np.stack([xy, xy + fwd * 25.0, xy + fwd * 60.0, xy - fwd * 15.0]).astype(np.float32)),
+        veh_yaw=jnp.full((4,), yaw, jnp.float32),
+        veh_alive=jnp.ones(4, bool),
+        ped_pos=jnp.asarray((xy + fwd * 12.0 + np.array([0.0, 3.0])).astype(np.float32))[None].repeat(2, 0),
+        ped_alive=jnp.ones(2, bool),
+    )
+    return world, xy, yaw
+
+
+def test_ray_directions_geometry():
+    spec = CameraSpec()
+    rays = ray_directions(spec, jnp.asarray(0.0))
+    assert rays.shape == (spec.height, spec.width, 3)
+    # Center ray points along +x, roughly level.
+    c = np.asarray(rays[spec.height // 2, spec.width // 2])
+    assert c[0] > 0.95 and abs(c[1]) < 0.05
+    # Bottom rows point downward (ground visible).
+    assert float(rays[-1, spec.width // 2, 2]) < -0.2
+    # Left edge points left (+y for yaw=0... right-handed: u>0 is right = -y)
+    assert float(rays[spec.height // 2, 0, 1]) > 0.3
+
+
+def test_camera_position_offset():
+    spec = CameraSpec()
+    p = camera_position(spec, jnp.asarray([10.0, 5.0]), jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(p), [12.0, 5.0, 1.4], atol=1e-6)
+
+
+def test_render_smoke_all_weathers(mini_town):
+    net = mini_town
+    for widx in range(len(WEATHER_NAMES)):
+        world, _, _ = _world_on_road(net, weather_idx=widx)
+        ls = light_states(net, world.time_s)
+        img = jax.jit(lambda w: render_frame(net, w, light_states(net, w.time_s)))(world)
+        a = np.asarray(img)
+        assert a.shape == (88, 200, 3)
+        assert np.isfinite(a).all()
+        assert a.min() >= 0.0 and a.max() <= 1.0
+        assert a.std() > 0.01, f"flat image for weather {widx}"
+
+
+def test_render_sees_road_and_sky(mini_town):
+    world, _, _ = _world_on_road(mini_town, weather_idx=0)
+    img = np.asarray(render_frame(mini_town, world, light_states(mini_town, world.time_s)))
+    # Top rows are sky (bluish: b > r), bottom rows are ground (dark asphalt).
+    top = img[:10].mean(axis=(0, 1))
+    assert top[2] > top[0]
+    bottom = img[-10:].mean(axis=(0, 1))
+    assert bottom.mean() < 0.5
+
+
+def test_render_weathers_differ(mini_town):
+    imgs = []
+    for widx in [0, 3]:  # clear vs night
+        world, _, _ = _world_on_road(mini_town, weather_idx=widx)
+        imgs.append(np.asarray(render_frame(mini_town, world, light_states(mini_town, world.time_s))))
+    assert imgs[0].mean() > imgs[1].mean() + 0.05  # night is darker
+
+
+def test_render_npc_visible(mini_town):
+    world, xy, yaw = _world_on_road(mini_town, weather_idx=0)
+    ls = light_states(mini_town, world.time_s)
+    with_npc = np.asarray(render_frame(mini_town, world, ls))
+    world_empty = world.replace(veh_alive=world.veh_alive.at[1:].set(False),
+                                ped_alive=world.ped_alive.at[:].set(False))
+    without = np.asarray(render_frame(mini_town, world_empty, ls))
+    diff = np.abs(with_npc - without).mean()
+    assert diff > 1e-4, "NPC vehicle not visible in render"
