@@ -1,0 +1,97 @@
+"""Headline benchmark: batched closed-loop env-steps/sec on one chip.
+
+One env step = render (200x88 raycast camera) + CILRS ResNet-34 policy forward
++ perception + safety cascade + NPC traffic + physics + metrics — i.e. what the
+reference achieves at ~10-15 FPS for ONE env against an external CARLA server on
+an RTX 4060 (BASELINE.md "sim loop rate"). The north-star target is 100k
+env-steps/s on a v5e-8 pod => 12,500 per chip (BASELINE.json); vs_baseline is
+measured against that per-chip target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cilrs_tpu.agent.driver import make_driver_state, rollout
+    from cilrs_tpu.agent.scenario import spawn_world
+    from cilrs_tpu.config import TrainConfig, ModelConfig, load_weather_table
+    from cilrs_tpu.core.state import default_vehicle_params
+    from cilrs_tpu.maps.routing import chained_route_pool
+    from cilrs_tpu.maps.town import make_town01
+    from cilrs_tpu.train.state import create_train_state
+
+    E = int(os.environ.get("BENCH_ENVS", "128"))
+    T = int(os.environ.get("BENCH_TICKS", "20"))
+    REPS = int(os.environ.get("BENCH_REPS", "5"))
+
+    net = make_town01(blocks_x=3, blocks_y=3)
+    rng = np.random.RandomState(0)
+    wt = load_weather_table()
+    params = default_vehicle_params()
+    pool = chained_route_pool(net, rng, num_routes=3)
+
+    world = spawn_world(net, num_vehicles=12, num_pedestrians=5, rng=rng)
+    base = make_driver_state(world)
+    fleet = jax.tree.map(lambda x: jnp.broadcast_to(x, (E,) + x.shape).copy(), base)
+    fleet = fleet.replace(world=fleet.world.replace(
+        rng=jax.vmap(jax.random.PRNGKey)(jnp.arange(E, dtype=jnp.uint32)),
+        weather_idx=jnp.arange(E, dtype=jnp.int32) % 5,
+    ))
+
+    cfg = TrainConfig(model=ModelConfig(dropout=0.0))
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    apply_fn = state.apply_fn
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def chunk(st, net_, pool_, variables_):
+        def policy_fn(image, speed_norm, command):
+            controls, _ = apply_fn(variables_, image, speed_norm, command, train=False)
+            return controls
+
+        def one(s):
+            return rollout(s, steps=T, net=net_, pool=pool_, wt=wt, params=params,
+                           policy_fn=policy_fn, mode="drive", want_frames=False)
+        final, _ = jax.vmap(one)(st)
+        return final
+
+    # Warmup / compile.
+    t_c = time.time()
+    fleet = chunk(fleet, net, pool, variables)
+    jax.block_until_ready(jax.tree.leaves(fleet)[0])
+    print(f"# compile+first chunk: {time.time() - t_c:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(REPS):
+        fleet = chunk(fleet, net, pool, variables)
+    jax.block_until_ready(jax.tree.leaves(fleet)[0])
+    dt = time.time() - t0
+
+    steps = E * T * REPS
+    rate = steps / dt
+    target_per_chip = 100_000 / 8.0
+    print(json.dumps({
+        "metric": "env_steps_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "env-steps/s (render+policy+dynamics, 1 chip)",
+        "vs_baseline": round(rate / target_per_chip, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,344 @@
+"""The fused closed-loop driving step and rollout.
+
+This file is the TPU-native equivalent of `AutonomousDriver.run()`'s hot loop
+(reference model/autonomous_drive.py:1490-1677). Where the reference does, per
+frame: camera callback -> CPU preprocess -> GPU forward -> Python rule cascade
+-> `vehicle.apply_control` RPC -> `world.tick()` barrier against the CARLA
+server, here ONE pure function advances everything — render, policy, perception,
+safety cascade, recovery state machines, NPC traffic, physics, metrics — and a
+`lax.scan` unrolls it into a single compiled device program with zero host
+round-trips. `vmap(env_step)` batches it over fleets; `shard_map` spreads the
+fleet over a mesh (see cilrs_tpu.parallel).
+
+Recovery semantics preserved from the reference:
+ - collision recovery: brake 6 ticks -> reverse 40 ticks -> brake 6 ticks;
+   >= 5 consecutive recoveries escalate to teleport (:1314-1346);
+ - stuck detection: < 3 m progress in 15 s, or > 25 s waiting for traffic
+   (:1430-1464) -> teleport + replan;
+ - off-road streak > 10 frames -> teleport (:1566-1572);
+ - teleport lands on the route ahead and resets controller/machine state
+   (:1348-1428). "Replan" switches to the next pre-traced route in the pool
+   (host Dijkstra at episode setup; chained so each route starts where the
+   previous one ends).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from cilrs_tpu.agent import perception
+from cilrs_tpu.agent.autopilot import autopilot_controls
+from cilrs_tpu.agent.controller import (
+    CtrlState, ST_OK, ST_RECOVERY, init_ctrl_state, reset_ctrl_state,
+    safety_controller,
+)
+from cilrs_tpu.agent.npc import npc_controller, pedestrian_step_targets
+from cilrs_tpu.config import SPEED_NORM_FACTOR, WeatherTable
+from cilrs_tpu.core.dynamics import detect_ego_collisions, world_physics_step
+from cilrs_tpu.core.state import VehicleParams, WorldState
+from cilrs_tpu.evaluation.metrics import Metrics, init_metrics, update_metrics
+from cilrs_tpu.maps.network import LIGHT_RED, RoadNetwork, light_states
+from cilrs_tpu.maps.routing import (
+    RoutePool, get_command, is_complete, localize, steer_hint,
+)
+from cilrs_tpu.ops.image import normalize
+from cilrs_tpu.render.camera import CameraSpec
+from cilrs_tpu.render.raster import CAMERA, render_frame
+
+DT = 0.05  # 20 Hz, reference synchronous mode fixed_delta (:574-577)
+
+REC_NONE, REC_BRAKE, REC_REVERSE, REC_BRAKE2 = 0, 1, 2, 3
+REC_BRAKE_S = 0.3  # 6 ticks
+REC_REVERSE_S = 2.0  # 40 ticks
+REC_TOTAL_S = REC_BRAKE_S + REC_REVERSE_S + REC_BRAKE_S
+MAX_CONSECUTIVE_RECOVERIES = 5
+STUCK_DIST_M = 3.0
+STUCK_TIME_S = 15.0
+TRAFFIC_WAIT_MAX_S = 25.0
+OFF_ROAD_STREAK_MAX = 10
+TELEPORT_AHEAD = 5
+
+
+@struct.dataclass
+class DriverState:
+    world: WorldState
+    ctrl: CtrlState
+    metrics: Metrics
+    route_id: jnp.ndarray  # i32 into the RoutePool
+    route_idx: jnp.ndarray  # i32 position along the active route
+    recovery_mode: jnp.ndarray  # i32
+    recovery_start: jnp.ndarray  # f32
+    consecutive_recoveries: jnp.ndarray  # i32
+    had_collision: jnp.ndarray  # bool latch from last tick
+    stuck_anchor_pos: jnp.ndarray  # [2]
+    stuck_anchor_time: jnp.ndarray  # f32
+    off_road_streak: jnp.ndarray  # i32
+    violation_cd_until: jnp.ndarray  # f32 — red-light violation debounce
+    route_done: jnp.ndarray  # bool — completion latch for non-looping eval runs
+
+
+def make_driver_state(world: WorldState, route_id: int = 0) -> DriverState:
+    return DriverState(
+        world=world,
+        ctrl=init_ctrl_state(),
+        metrics=init_metrics(),
+        route_id=jnp.asarray(route_id, jnp.int32),
+        route_idx=jnp.asarray(0, jnp.int32),
+        recovery_mode=jnp.asarray(REC_NONE, jnp.int32),
+        recovery_start=jnp.asarray(-1e9, jnp.float32),
+        consecutive_recoveries=jnp.asarray(0, jnp.int32),
+        had_collision=jnp.asarray(False),
+        stuck_anchor_pos=world.veh_pos[0],
+        stuck_anchor_time=jnp.asarray(0.0, jnp.float32),
+        off_road_streak=jnp.asarray(0, jnp.int32),
+        violation_cd_until=jnp.asarray(-1.0, jnp.float32),
+        route_done=jnp.asarray(False),
+    )
+
+
+PolicyFn = Callable[..., tuple]  # (image, speed_norm, command) -> [3] controls
+
+
+def env_step(
+    state: DriverState,
+    net: RoadNetwork,
+    pool: RoutePool,
+    wt: WeatherTable,
+    params: VehicleParams,
+    policy_fn: PolicyFn | None,
+    mode: str = "drive",  # "drive" = model + safety cascade; "collect" = autopilot
+    cam: CameraSpec = CAMERA,
+    want_frame: bool = True,
+    loop_routes: bool = True,  # False = pinned-destination benchmark: stop at dest
+):
+    """One 20 Hz tick. Returns (new DriverState, outputs dict)."""
+    world = state.world
+    now = world.time_s
+    route = pool.get(state.route_id)
+    lights = light_states(net, now)
+    ego_pos, ego_yaw = world.ego_pos, world.ego_yaw
+    speed_kmh = jnp.abs(world.ego_speed) * 3.6
+
+    # --- route context (reference :1589-1593) ---
+    route_idx = localize(route, state.route_idx, ego_pos)
+    cmd = get_command(route, route_idx)
+    hint = steer_hint(route, route_idx, ego_pos, ego_yaw)
+
+    # --- perception ---
+    obs_dist = perception.get_obstacle_distance(world)
+    tl_state = perception.check_traffic_light(net, lights, ego_pos, ego_yaw)
+    on_road = ~perception.ego_off_road(net, ego_pos)
+
+    # --- camera + policy ---
+    frame = render_frame(net, world, lights, cam) if (want_frame or mode == "drive") \
+        else jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+
+    if mode == "drive":
+        assert policy_fn is not None
+        x = normalize(frame)[None]
+        speed_norm = jnp.clip(speed_kmh / SPEED_NORM_FACTOR, 0.0, 1.0)
+        nn_controls = policy_fn(x, speed_norm[None], cmd[None])  # [1,3]
+        nn_steer, nn_gas, nn_brake = nn_controls[0, 0], nn_controls[0, 1], nn_controls[0, 2]
+        control, reverse, status, ctrl2, events = safety_controller(
+            net, world, state.ctrl, wt,
+            nn_steer, nn_gas, nn_brake,
+            speed_kmh, cmd, hint, obs_dist, tl_state,
+        )
+    else:
+        a_steer, a_thr, a_brk = autopilot_controls(
+            route, route_idx, ego_pos, ego_yaw, speed_kmh, obs_dist, tl_state
+        )
+        control = jnp.stack([a_steer, a_thr, a_brk])
+        reverse = jnp.asarray(False)
+        status = jnp.asarray(ST_OK, jnp.int32)
+        ctrl2 = state.ctrl
+        events = {
+            "red_light_stop": jnp.asarray(False),
+            "obstacle_brake": jnp.asarray(False),
+            "teleport_request": jnp.asarray(False),
+        }
+
+    # --- collision recovery machine (reference :1314-1346) ---
+    rec_mode, rec_start = state.recovery_mode, state.recovery_start
+    consec = state.consecutive_recoveries
+    escalate = state.had_collision & (rec_mode == REC_NONE) & (consec >= MAX_CONSECUTIVE_RECOVERIES)
+    start_rec = state.had_collision & (rec_mode == REC_NONE) & ~escalate
+    rec_mode = jnp.where(start_rec, REC_BRAKE, rec_mode)
+    rec_start = jnp.where(start_rec, now, rec_start)
+    consec = jnp.where(start_rec, consec + 1, consec)
+    rec_el = now - rec_start
+    rec_mode = jnp.where((rec_mode == REC_BRAKE) & (rec_el > REC_BRAKE_S), REC_REVERSE, rec_mode)
+    rec_mode = jnp.where(
+        (rec_mode == REC_REVERSE) & (rec_el > REC_BRAKE_S + REC_REVERSE_S), REC_BRAKE2, rec_mode
+    )
+    rec_done = (rec_mode == REC_BRAKE2) & (rec_el > REC_TOTAL_S)
+    rec_mode = jnp.where(rec_done, REC_NONE, rec_mode)
+    rec_active = rec_mode != REC_NONE
+    # Pseudo-random reverse steer, stable per recovery episode.
+    rseed = jnp.sin(rec_start * 12.99) * 43758.5
+    rsteer = ((rseed - jnp.floor(rseed)) - 0.5) * 0.6
+    rec_control = jnp.where(
+        rec_mode == REC_REVERSE,
+        jnp.stack([rsteer, jnp.asarray(0.5), jnp.asarray(0.0)]),
+        jnp.stack([jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(1.0)]),
+    )
+    control = jnp.where(rec_active, rec_control, control)
+    reverse = jnp.where(rec_active, rec_mode == REC_REVERSE, reverse)
+    status = jnp.where(rec_active, ST_RECOVERY, status)
+    # Forget old recoveries once we've been clean for 20 s.
+    consec = jnp.where((~rec_active) & (rec_el > 20.0), 0, consec)
+
+    # --- stuck detection (reference :1430-1464) ---
+    moved = jnp.linalg.norm(ego_pos - state.stuck_anchor_pos)
+    anchor_pos = jnp.where(moved > STUCK_DIST_M, ego_pos, state.stuck_anchor_pos)
+    anchor_time = jnp.where(moved > STUCK_DIST_M, now, state.stuck_anchor_time)
+    stuck_still = (now - anchor_time) > STUCK_TIME_S
+    waiting_long = ctrl2.waiting_for_traffic & (
+        (now - ctrl2.traffic_wait_start) > TRAFFIC_WAIT_MAX_S
+    )
+    stuck = stuck_still | waiting_long
+
+    # --- NPC traffic + physics ---
+    npc_ctl, veh_wp = npc_controller(net, world, lights)
+    all_controls = npc_ctl.at[0].set(control)
+    all_reverse = jnp.zeros((world.num_vehicles,), bool).at[0].set(reverse)
+    friction = wt.friction[world.weather_idx]
+    key, sub = jax.random.split(world.rng)
+    new_ped_yaw = pedestrian_step_targets(world, sub)
+    world2 = world_physics_step(
+        world.replace(veh_wp=veh_wp, ped_yaw=new_ped_yaw, rng=key),
+        all_controls, all_reverse, params, friction, DT,
+    )
+
+    # --- post-physics events ---
+    hit_v, hit_w = detect_ego_collisions(world2, params)
+    had_collision = (hit_v | hit_w) & ~rec_active
+
+    off_streak = jnp.where(on_road, 0, state.off_road_streak + 1)
+
+    # --- teleport (recovery escalation | stuck | off-road streak | reverse fallback) ---
+    teleport = (
+        escalate | stuck | (off_streak > OFF_ROAD_STREAK_MAX) | events["teleport_request"]
+    )
+    tp_idx = jnp.minimum(route_idx + TELEPORT_AHEAD, route.length - 1)
+    tp_pos = route.xy[tp_idx]
+    tp_yaw = route.yaw[tp_idx]
+    veh_pos2 = jnp.where(teleport, world2.veh_pos.at[0].set(tp_pos), world2.veh_pos)
+    veh_yaw2 = jnp.where(teleport, world2.veh_yaw.at[0].set(tp_yaw), world2.veh_yaw)
+    veh_speed2 = jnp.where(teleport, world2.veh_speed.at[0].set(0.0), world2.veh_speed)
+    world2 = world2.replace(veh_pos=veh_pos2, veh_yaw=veh_yaw2, veh_speed=veh_speed2)
+    route_idx = jnp.where(teleport, tp_idx, route_idx)
+    ctrl2 = jax.tree.map(
+        lambda fresh, cur: jnp.where(teleport, fresh, cur),
+        reset_ctrl_state(ctrl2, now), ctrl2,
+    )
+    rec_mode = jnp.where(teleport, REC_NONE, rec_mode)
+    consec = jnp.where(teleport, 0, consec)
+    anchor_pos = jnp.where(teleport, tp_pos, anchor_pos)
+    anchor_time = jnp.where(teleport, now, anchor_time)
+    off_streak = jnp.where(teleport, 0, off_streak)
+    had_collision = had_collision & ~teleport
+
+    # --- route completion -> next pooled route (reference :1595-1600) ---
+    # With loop_routes=False (the pinned --destination benchmark protocol,
+    # RESULTS.md:151-165) the run counts one attempt/completion and holds.
+    at_dest = is_complete(route, world2.veh_pos[0])
+    completed = at_dest & ~state.route_done
+    if loop_routes:
+        route_id2 = jnp.where(completed, (state.route_id + 1) % pool.num_routes, state.route_id)
+        route_idx2 = jnp.where(completed, 0, route_idx)
+        route_done2 = jnp.asarray(False)
+        new_attempt = completed
+    else:
+        route_id2 = state.route_id
+        route_idx2 = route_idx
+        route_done2 = state.route_done | at_dest
+        new_attempt = jnp.asarray(False)
+
+    # --- red-light violation: crossing a governing red at speed ---
+    violation = (
+        (tl_state == LIGHT_RED) & (speed_kmh > 15.0)
+        & (now > state.violation_cd_until)
+    )
+    violation_cd = jnp.where(violation, now + 5.0, state.violation_cd_until)
+
+    # --- metrics ---
+    metrics = update_metrics(
+        state.metrics,
+        speed_kmh=speed_kmh,
+        steer=control[0],
+        on_road=on_road,
+        dt=DT,
+        now=now,
+        hit_vehicle=hit_v & ~rec_active,
+        hit_walker=hit_w & ~rec_active,
+        red_light_stop=events["red_light_stop"],
+        red_light_violation=violation,
+        obstacle_brake=events["obstacle_brake"],
+        route_completed=completed,
+        route_attempted=new_attempt,  # a new attempt starts when we loop onward
+        teleported=teleport,
+        recovered=start_rec,
+    )
+
+    new_state = DriverState(
+        world=world2,
+        ctrl=ctrl2,
+        metrics=metrics,
+        route_id=route_id2,
+        route_idx=route_idx2,
+        recovery_mode=rec_mode.astype(jnp.int32),
+        recovery_start=rec_start,
+        consecutive_recoveries=consec.astype(jnp.int32),
+        had_collision=had_collision,
+        stuck_anchor_pos=anchor_pos,
+        stuck_anchor_time=anchor_time,
+        off_road_streak=off_streak.astype(jnp.int32),
+        violation_cd_until=violation_cd,
+        route_done=route_done2,
+    )
+    outputs = {
+        "frame": frame if want_frame else None,
+        "control": control,
+        "status": status,
+        "command": cmd,
+        "speed_kmh": speed_kmh,
+        "steer_hint": hint,
+        "obstacle_dist": obs_dist,
+        "tl_state": tl_state,
+        "pos": world2.veh_pos[0],
+        "yaw": world2.veh_yaw[0],
+        "route_idx": route_idx2,
+        "completed": completed,
+    }
+    outputs = {k: v for k, v in outputs.items() if v is not None}
+    return new_state, outputs
+
+
+def rollout(
+    state: DriverState,
+    steps: int,
+    net: RoadNetwork,
+    pool: RoutePool,
+    wt: WeatherTable,
+    params: VehicleParams,
+    policy_fn: PolicyFn | None,
+    mode: str = "drive",
+    cam: CameraSpec = CAMERA,
+    want_frames: bool = False,
+    loop_routes: bool = True,
+):
+    """`lax.scan` the step for `steps` ticks. Returns (final state, stacked outputs)."""
+
+    def body(carry, _):
+        return env_step(
+            carry, net, pool, wt, params, policy_fn,
+            mode=mode, cam=cam, want_frame=want_frames, loop_routes=loop_routes,
+        )
+
+    return jax.lax.scan(body, state, None, length=steps)

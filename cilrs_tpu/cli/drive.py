@@ -1,0 +1,174 @@
+"""Closed-loop driving / evaluation CLI.
+
+Flag parity with the reference's argparse (model/autonomous_drive.py:1743-1770:
+--checkpoint --duration --spawn --destination --vehicles --pedestrians --no-hud
+--map) PLUS the documented-but-missing --weather flag (SURVEY.md §2.3 item 1).
+
+    python -m cilrs_tpu.cli.drive --duration 120 --spawn 0 --destination 50 \
+        --vehicles 40 --pedestrians 5 --weather clear --no-hud
+
+The hot loop runs in jitted multi-tick chunks on device; the host only touches
+frames/metrics at chunk boundaries (2 s of sim per transfer vs. the reference's
+per-frame RPC+render round trip).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cilrs_tpu.agent.driver import DT, make_driver_state, rollout
+from cilrs_tpu.agent.scenario import spawn_world
+from cilrs_tpu.cli.common import build_map, load_policy
+from cilrs_tpu.config import (
+    WEATHER_NAMES, load_scoring_config, load_weather_table, weather_index,
+)
+from cilrs_tpu.core.state import default_vehicle_params
+from cilrs_tpu.evaluation import compute_scores, format_report
+from cilrs_tpu.evaluation.hud import DashboardHUD, HAS_CV2, STATUS_NAMES
+from cilrs_tpu.maps.routing import chained_route_pool, stack_routes, trace_route
+
+CHUNK_TICKS = 40  # 2 s of sim per host round trip
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="CILRS-TPU closed-loop driving")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--duration", type=float, default=120.0, help="seconds of sim time")
+    p.add_argument("--spawn", type=int, default=None)
+    p.add_argument("--destination", type=int, default=None)
+    p.add_argument("--vehicles", type=int, default=20)
+    p.add_argument("--pedestrians", type=int, default=5)
+    p.add_argument("--weather", default="clear", choices=list(WEATHER_NAMES))
+    p.add_argument("--no-hud", action="store_true")
+    p.add_argument("--map", default="town01")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save-video", default=None, help="write HUD frames to mp4")
+    p.add_argument("--report-json", default=None)
+    p.add_argument("--autopilot", action="store_true",
+                   help="drive with the rule-based teacher instead of the model")
+    args = p.parse_args(argv)
+
+    t_setup = time.time()
+    print(f"Map: {args.map}")
+    net = build_map(args.map)
+    print(f"  {net.num_waypoints} waypoints, {net.num_lights} lights "
+          f"({time.time() - t_setup:.1f}s)", flush=True)
+    rng = np.random.RandomState(args.seed)
+    widx = weather_index(args.weather)
+    wt = load_weather_table()
+    params = default_vehicle_params()
+
+    world, info = spawn_world(net, args.vehicles + 1, args.pedestrians, rng,
+                              ego_spawn=args.spawn, weather_idx=widx,
+                              seed=args.seed, return_info=True)
+    from cilrs_tpu.maps.network import host_arrays
+    spawns = host_arrays(net).spawn_wp
+    ego_wp = info["ego_wp"]
+    loop_routes = args.destination is None
+    if args.destination is not None:
+        dest_wp = int(spawns[args.destination % len(spawns)])
+        route = trace_route(net, ego_wp, dest_wp)
+        if route is None:
+            raise SystemExit("destination unreachable from spawn")
+        pool = stack_routes([route])
+        print(f"  route: {int(route.length)} waypoints to spawn point {args.destination}")
+    else:
+        pool = chained_route_pool(net, rng, num_routes=6, start_wp=ego_wp)
+    print(f"  routes ready ({time.time() - t_setup:.1f}s)", flush=True)
+
+    mode = "collect" if args.autopilot else "drive"
+    policy_fn = None
+    if not args.autopilot:
+        policy_fn, _ = load_policy(args.checkpoint)
+
+    state = make_driver_state(world)
+    scoring = load_scoring_config()
+
+    roll = jax.jit(functools.partial(
+        rollout, steps=CHUNK_TICKS, net=net, pool=pool, wt=wt, params=params,
+        policy_fn=policy_fn, mode=mode, want_frames=True,
+        loop_routes=loop_routes,
+    ))
+
+    pool_end_xy = np.asarray(pool.xy[:, -1])  # host copy for HUD distance
+
+    hud = None
+    video = None
+    if not args.no_hud and HAS_CV2:
+        hud = DashboardHUD()
+    if args.save_video:
+        import cv2
+
+        video = cv2.VideoWriter(
+            args.save_video, cv2.VideoWriter_fourcc(*"mp4v"),
+            int(1 / DT / CHUNK_TICKS * 10), (960, 540),
+        )
+
+    print(f"Driving for {args.duration:.0f} s sim time, weather={args.weather} ...")
+    total_ticks = int(args.duration / DT)
+    done_ticks = 0
+    t_wall = time.time()
+    running = True
+    while done_ticks < total_ticks and running:
+        state, outs = roll(state)
+        done_ticks += CHUNK_TICKS
+        scores = compute_scores(state.metrics, scoring)
+
+        if hud is not None or video is not None:
+            frame = np.asarray(outs["frame"][-1])
+            canvas = DashboardHUD.compose(
+                hud or DashboardHUD(),
+                frame,
+                speed_kmh=float(outs["speed_kmh"][-1]),
+                command=int(outs["command"][-1]),
+                steer=float(outs["control"][-1, 0]),
+                throttle=float(outs["control"][-1, 1]),
+                brake=float(outs["control"][-1, 2]),
+                tl_state=int(outs["tl_state"][-1]),
+                obstacle_dist=float(outs["obstacle_dist"][-1]),
+                dest_remaining_m=float(np.linalg.norm(
+                    pool_end_xy[int(state.route_id)] - np.asarray(outs["pos"][-1]))),
+                status=int(outs["status"][-1]),
+                safety_pct=scores["safety"],
+                distance_m=scores["total_distance_m"],
+                collisions=int(scores["collisions"]),
+                weather=args.weather,
+            )
+            if video is not None:
+                video.write(canvas)
+            if hud is not None:
+                running = hud.show(canvas)
+
+        # 2-s status line (reference :1639-1652).
+        st = STATUS_NAMES.get(int(outs["status"][-1]), "?")
+        sim_t = done_ticks * DT
+        rtf = sim_t / max(time.time() - t_wall, 1e-9)
+        print(f"  t={sim_t:6.1f}s  v={float(outs['speed_kmh'][-1]):5.1f} km/h  "
+              f"cmd={int(outs['command'][-1])}  {st:10s}  "
+              f"score={scores['overall']:5.1f}  ({rtf:4.1f}x realtime)")
+
+    if video is not None:
+        video.release()
+    if hud is not None:
+        hud.close()
+
+    scores = compute_scores(state.metrics, scoring)
+    wall = time.time() - t_wall
+    print(f"\nAvg sim rate: {done_ticks / wall:.1f} ticks/s ({done_ticks * DT / wall:.1f}x realtime)")
+    print(format_report(scores))
+    if args.report_json:
+        with open(args.report_json, "w") as f:
+            json.dump({"weather": args.weather, **scores}, f, indent=2)
+        print(f"report written to {args.report_json}")
+    return scores
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Training CLI (notebook PARTs A-E as a command).
+
+    python -m cilrs_tpu.cli.train --data data/session_001 [data/session_002 ...] \
+        --ckpt-dir runs/cilrs --epochs 20 [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from cilrs_tpu.config import load_train_config
+from cilrs_tpu.data.dataset import load_sessions
+from cilrs_tpu.train.loop import train
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="CILRS-TPU training")
+    p.add_argument("--data", nargs="+", required=True, help="session directories")
+    p.add_argument("--ckpt-dir", default="runs/cilrs")
+    p.add_argument("--config", default=None, help="path to train.json override")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = load_train_config(args.config)
+    tcfg = cfg.training
+    if args.epochs is not None:
+        tcfg = dataclasses.replace(tcfg, epochs=args.epochs)
+    if args.batch_size is not None:
+        tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
+    cfg = dataclasses.replace(cfg, training=tcfg)
+
+    print(f"Loading sessions: {args.data}")
+    ds = load_sessions(args.data)
+    print(f"  {len(ds)} frames")
+    out = train(ds, cfg, ckpt_dir=args.ckpt_dir, resume=args.resume)
+    print(f"\nBest val loss: {out['best_val_loss']:.4f}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,8 @@ class ModelConfig:
     image_height: int = 88
     image_width: int = 200
     speed_normalization: float = SPEED_NORM_FACTOR
+    # ResNet stage depths; (1, 1, 1, 1) gives a fast "resnet10" for tests.
+    stage_sizes: tuple = (3, 4, 6, 3)
 
 
 @dataclasses.dataclass(frozen=True)

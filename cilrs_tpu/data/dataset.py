@@ -1,0 +1,117 @@
+"""Dataset loading for training: sessions -> arrays, split, weighted sampling.
+
+Parity with the reference notebook PART A: load all session measurement CSVs,
+map command names to indices, stratified 85/15 train/val split (seed 42),
+per-command inverse-frequency weights for oversampling. The DataLoader worker
+pool is replaced by whole-dataset device-resident uint8 arrays (176K frames at
+200x88x3 = 9.3 GB as uint8 — fits one v5e HBM; shard over the mesh when bigger)
+with weighted index sampling on host and augmentation on device inside the
+jitted train step.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from cilrs_tpu.config import COMMAND_NAMES, SPEED_NORM_FACTOR
+
+COMMAND_MAP = {name: i for i, name in enumerate(COMMAND_NAMES)}
+COMMAND_MAP.update({"LANEFOLLOW": 0, "FOLLOW": 0, "LEFT": 1, "RIGHT": 2, "STRAIGHT": 3})
+
+
+@dataclass
+class DriveDataset:
+    images: np.ndarray  # [N, H, W, 3] uint8
+    speed_norm: np.ndarray  # [N] f32
+    command: np.ndarray  # [N] i32
+    controls: np.ndarray  # [N, 3] f32 (steer, throttle, brake)
+
+    def __len__(self):
+        return len(self.command)
+
+
+def load_sessions(session_dirs: list[str]) -> DriveDataset:
+    """Load one or more collect_session output dirs (npz or jpeg format)."""
+    imgs, speeds, cmds, ctls = [], [], [], []
+    for d in session_dirs:
+        csv_path = os.path.join(d, "measurements.csv")
+        rows = list(csv.DictReader(open(csv_path)))
+        shard_cache: dict[str, np.ndarray] = {}
+        for row in rows:
+            fn = row["image_filename"]
+            if "#" in fn:  # npz shard reference
+                shard, k = fn.split("#")
+                if shard not in shard_cache:
+                    shard_cache[shard] = np.load(os.path.join(d, shard))["frames"]
+                imgs.append(shard_cache[shard][int(k)])
+            else:
+                from PIL import Image
+
+                imgs.append(np.asarray(Image.open(os.path.join(d, fn))))
+            speeds.append(float(row["speed_normalized"]))
+            cmds.append(COMMAND_MAP.get(row["command_name"].upper(), int(row["high_level_command"])))
+            ctls.append([float(row["steer"]), float(row["throttle"]), float(row["brake"])])
+    return DriveDataset(
+        images=np.stack(imgs),
+        speed_norm=np.asarray(speeds, np.float32),
+        command=np.asarray(cmds, np.int32),
+        controls=np.asarray(ctls, np.float32),
+    )
+
+
+def stratified_split(ds: DriveDataset, val_fraction: float = 0.15, seed: int = 42):
+    """Per-command stratified split (notebook PART A uses sklearn with seed 42)."""
+    rng = np.random.RandomState(seed)
+    train_idx, val_idx = [], []
+    for c in range(4):
+        idx = np.nonzero(ds.command == c)[0]
+        rng.shuffle(idx)
+        n_val = int(round(len(idx) * val_fraction))
+        val_idx.append(idx[:n_val])
+        train_idx.append(idx[n_val:])
+    return np.concatenate(train_idx), np.concatenate(val_idx)
+
+
+def command_weights(command: np.ndarray) -> np.ndarray:
+    """Inverse-frequency per-sample weights (WeightedRandomSampler parity)."""
+    counts = np.bincount(command, minlength=4).astype(np.float64)
+    counts = np.maximum(counts, 1.0)
+    w = 1.0 / counts
+    return (w[command] / w[command].sum()).astype(np.float64)
+
+
+class WeightedBatchSampler:
+    """Oversampling batch index generator matching WeightedRandomSampler
+    (with replacement, weighted by inverse command frequency)."""
+
+    def __init__(self, command: np.ndarray, batch_size: int, seed: int = 42):
+        self.p = command_weights(command)
+        self.n = len(command)
+        self.batch_size = batch_size
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self) -> np.ndarray:
+        return self.rng.choice(self.n, size=self.batch_size, replace=True, p=self.p)
+
+    def epoch(self, steps: int):
+        for _ in range(steps):
+            yield self()
+
+
+def make_synthetic_dataset(n: int = 512, seed: int = 0, h: int = 88, w: int = 200) -> DriveDataset:
+    """Small random dataset for tests/benchmarks (no collection required)."""
+    rng = np.random.RandomState(seed)
+    return DriveDataset(
+        images=rng.randint(0, 256, (n, h, w, 3), dtype=np.uint8),
+        speed_norm=rng.uniform(0, 0.5, n).astype(np.float32),
+        command=rng.randint(0, 4, n).astype(np.int32),
+        controls=np.stack([
+            rng.uniform(-0.3, 0.3, n),
+            rng.uniform(0, 0.8, n),
+            (rng.uniform(0, 1, n) < 0.1) * rng.uniform(0, 1, n),
+        ], axis=1).astype(np.float32),
+    )

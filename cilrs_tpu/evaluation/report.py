@@ -1,0 +1,86 @@
+"""Offline model evaluation: the evaluation_report.json metrics.
+
+Parity with the reference's offline eval on the 26,439-sample val split
+(evaluation_report.json:1-78): per-control MAE / MSE / RMSE / Pearson
+correlation, per-command sample counts + steer MAE/RMSE, steering error
+percentiles, and accuracy-within-threshold buckets.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from cilrs_tpu.config import COMMAND_NAMES
+
+CONTROL_NAMES = ("steer", "throttle", "brake", "speed")
+ACCURACY_THRESHOLDS = (0.01, 0.05, 0.1)
+PERCENTILES = (50, 75, 90, 95, 99)
+
+
+def _corr(a: np.ndarray, b: np.ndarray) -> float:
+    if a.std() < 1e-9 or b.std() < 1e-9:
+        return 0.0
+    return float(np.corrcoef(a, b)[0, 1])
+
+
+def offline_report(
+    pred: np.ndarray,  # [N, 4] steer, throttle, brake, pred_speed(norm)
+    true: np.ndarray,  # [N, 4] same layout (speed normalized)
+    command: np.ndarray,  # [N]
+) -> dict:
+    report: dict = {"num_samples": int(len(pred))}
+    for k, name in enumerate(CONTROL_NAMES):
+        err = pred[:, k] - true[:, k]
+        report[name] = {
+            "mae": float(np.abs(err).mean()),
+            "mse": float((err ** 2).mean()),
+            "rmse": float(np.sqrt((err ** 2).mean())),
+            "correlation": _corr(pred[:, k], true[:, k]),
+        }
+    per_cmd = {}
+    steer_err = np.abs(pred[:, 0] - true[:, 0])
+    for c, cname in enumerate(COMMAND_NAMES):
+        mask = command == c
+        if mask.sum() == 0:
+            continue
+        per_cmd[cname] = {
+            "samples": int(mask.sum()),
+            "steer_mae": float(steer_err[mask].mean()),
+            "steer_rmse": float(np.sqrt(((pred[mask, 0] - true[mask, 0]) ** 2).mean())),
+        }
+    report["per_command"] = per_cmd
+    report["steer_percentiles"] = {
+        f"p{p}": float(np.percentile(steer_err, p)) for p in PERCENTILES
+    }
+    report["steer_accuracy"] = {
+        f"within_{t}": float((steer_err <= t).mean()) for t in ACCURACY_THRESHOLDS
+    }
+    return report
+
+
+def save_report(report: dict, path: str):
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+
+
+def collect_predictions(state, ds, idx: np.ndarray, batch: int, eval_step) -> tuple:
+    """Run eval_step over idx in batches; returns (pred [N,4], true [N,4], cmd)."""
+    import jax.numpy as jnp
+
+    preds = []
+    n = (len(idx) // batch) * batch
+    for s in range(0, n, batch):
+        b = idx[s : s + batch]
+        parts = eval_step(state, {
+            "images": jnp.asarray(ds.images[b]),
+            "speed": jnp.asarray(ds.speed_norm[b]),
+            "command": jnp.asarray(ds.command[b]),
+            "controls": jnp.asarray(ds.controls[b]),
+        })
+        preds.append(np.asarray(parts["pred"]))
+    pred = np.concatenate(preds) if preds else np.zeros((0, 4))
+    used = idx[:n]
+    true = np.concatenate([ds.controls[used], ds.speed_norm[used][:, None]], axis=1)
+    return pred, true, ds.command[used]

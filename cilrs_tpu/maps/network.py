@@ -41,6 +41,25 @@ LIGHT_CYCLE_S = 2.0 * LIGHT_PHASE_S
 LIGHT_GREEN, LIGHT_YELLOW, LIGHT_RED, LIGHT_NONE = 0, 1, 2, 3
 
 
+class HostCache:
+    """Numpy mirrors of map arrays for host-side code (routing, spawning, CLI).
+
+    Device->host reads can be extremely slow on tunneled TPU runtimes, so every
+    array the host ever needs is kept here from build time. Attached to
+    RoadNetwork as a NON-pytree (static) field: identity-hashed so jit treats
+    two different networks as different programs, but never traces the data.
+    """
+
+    def __init__(self, **arrays):
+        self.__dict__.update(arrays)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
 @struct.dataclass
 class RoadNetwork:
     """Static map data (device arrays). W waypoints, L lights, S spawn points."""
@@ -65,6 +84,8 @@ class RoadNetwork:
     tex_origin: jnp.ndarray  # [2] world xy of texel (0, 0)
     tex_scale: jnp.ndarray  # scalar meters per texel
 
+    host: HostCache = struct.field(pytree_node=False, default=None)
+
     @property
     def num_waypoints(self) -> int:
         return self.wp_xy.shape[0]
@@ -76,6 +97,24 @@ class RoadNetwork:
     @property
     def num_spawn_points(self) -> int:
         return self.spawn_wp.shape[0]
+
+
+def host_arrays(net: RoadNetwork) -> HostCache:
+    """The network's numpy mirror; built lazily (slow d2h) if absent."""
+    if net.host is not None:
+        return net.host
+    import numpy as _np
+
+    return HostCache(
+        wp_xy=_np.asarray(net.wp_xy), wp_yaw=_np.asarray(net.wp_yaw),
+        wp_next=_np.asarray(net.wp_next), wp_num_next=_np.asarray(net.wp_num_next),
+        wp_prev=_np.asarray(net.wp_prev), wp_turn=_np.asarray(net.wp_turn),
+        wp_is_junction=_np.asarray(net.wp_is_junction),
+        wp_left=_np.asarray(net.wp_left), wp_right=_np.asarray(net.wp_right),
+        spawn_wp=_np.asarray(net.spawn_wp), light_xy=_np.asarray(net.light_xy),
+        light_yaw=_np.asarray(net.light_yaw), light_group=_np.asarray(net.light_group),
+        light_wp=_np.asarray(net.light_wp),
+    )
 
 
 def light_states(net: RoadNetwork, time_s: jnp.ndarray) -> jnp.ndarray:
@@ -274,6 +313,13 @@ def build_network(
 
     texture, origin = _rasterize_texture(xy, yaw, junc, tex_scale)
 
+    host = HostCache(
+        wp_xy=xy, wp_yaw=yaw, wp_next=nxt, wp_num_next=num_next, wp_prev=prev,
+        wp_turn=turn, wp_is_junction=junc, wp_left=left, wp_right=right_arr,
+        spawn_wp=spawn_wp, light_xy=light_xy, light_yaw=light_yaw,
+        light_group=light_group, light_wp=light_wp,
+    )
+
     return RoadNetwork(
         wp_xy=jnp.asarray(xy),
         wp_yaw=jnp.asarray(yaw),
@@ -292,6 +338,7 @@ def build_network(
         texture=jnp.asarray(texture),
         tex_origin=jnp.asarray(origin, jnp.float32),
         tex_scale=jnp.asarray(tex_scale, jnp.float32),
+        host=host,
     )
 
 

@@ -102,11 +102,14 @@ class _HostGraph:
     """Cached numpy views of a network's graph arrays for host-side search."""
 
     def __init__(self, net: RoadNetwork):
-        self.xy = np.asarray(net.wp_xy)
-        self.yaw = np.asarray(net.wp_yaw)
-        self.next = np.asarray(net.wp_next)
-        self.num_next = np.asarray(net.wp_num_next)
-        self.turn = np.asarray(net.wp_turn)
+        from cilrs_tpu.maps.network import host_arrays
+
+        h = host_arrays(net)
+        self.xy = h.wp_xy
+        self.yaw = h.wp_yaw
+        self.next = h.wp_next
+        self.num_next = h.wp_num_next
+        self.turn = h.wp_turn
         self.W = self.xy.shape[0]
         nat = _get_native()
         self._nat_graph = nat.build(self.xy, self.next, self.num_next) if nat else None
@@ -157,13 +160,7 @@ def host_graph(net: RoadNetwork) -> _HostGraph:
     return g
 
 
-def trace_route(net: RoadNetwork, start_wp: int, end_wp: int) -> Route | None:
-    """Trace a route between two waypoint indices; None if unreachable."""
-    g = host_graph(net)
-    path = g.dijkstra(int(start_wp), int(end_wp))
-    if not path or len(path) < 4:
-        return None
-    path = path[:ROUTE_MAX]
+def _route_from_path(g: "_HostGraph", path: list[int]) -> Route:
     n = len(path)
     idx = np.asarray(path, np.int32)
     pad = np.full(ROUTE_MAX - n, idx[-1], np.int32)
@@ -180,6 +177,15 @@ def trace_route(net: RoadNetwork, start_wp: int, end_wp: int) -> Route | None:
     )
 
 
+def trace_route(net: RoadNetwork, start_wp: int, end_wp: int) -> Route | None:
+    """Trace a route between two waypoint indices; None if unreachable."""
+    g = host_graph(net)
+    path = g.dijkstra(int(start_wp), int(end_wp))
+    if not path or len(path) < 4:
+        return None
+    return _route_from_path(g, path[:ROUTE_MAX])
+
+
 def random_route(
     net: RoadNetwork,
     rng: np.random.RandomState,
@@ -189,8 +195,9 @@ def random_route(
 ) -> tuple[Route, int, int] | None:
     """Reference plan_route semantics: best random destination 80-300 m away
     (model/autonomous_drive.py:1469-1485), 30 candidate samples."""
-    spawns = np.asarray(net.spawn_wp)
     g = host_graph(net)
+    from cilrs_tpu.maps.network import host_arrays
+    spawns = host_arrays(net).spawn_wp
     start = int(spawns[rng.randint(len(spawns))])
     best = None
     p0 = g.xy[start]
@@ -208,6 +215,57 @@ def random_route(
         if r is not None:
             return r, start, int(best[1])
     return None
+
+
+def chained_route_pool(
+    net: RoadNetwork,
+    rng: np.random.RandomState,
+    num_routes: int,
+    start_wp: int | None = None,
+    min_dist: float = 80.0,
+    max_dist: float = 300.0,
+    samples: int = 30,
+    with_meta: bool = False,
+):
+    """Pre-trace `num_routes` routes, each starting where the previous ended,
+    so on-device "replanning" (route completion, reference :1595-1600) is just
+    `route_id + 1`. The chain wraps: the last route ends near the first's start
+    when possible, otherwise the pool simply cycles with a teleport-sized jump.
+    """
+    g = host_graph(net)
+    from cilrs_tpu.maps.network import host_arrays
+    spawns = host_arrays(net).spawn_wp
+    if start_wp is None:
+        start_wp = int(spawns[rng.randint(len(spawns))])
+    # All candidate vetting happens on host paths (no device reads in the loop).
+    paths: list[list[int]] = []
+    starts: list[int] = []
+    cur = start_wp
+    attempts = 0
+    while len(paths) < num_routes and attempts < num_routes * 20:
+        attempts += 1
+        cand = int(spawns[rng.randint(len(spawns))])
+        d = float(np.linalg.norm(g.xy[cand] - g.xy[cur]))
+        if not (min_dist <= d <= max_dist):
+            continue
+        path = g.dijkstra(cur, cand)
+        if len(path) < 15:
+            continue
+        paths.append(path[:ROUTE_MAX])
+        starts.append(cur)
+        cur = cand
+    if not paths:
+        raise ValueError("could not trace any route on this network")
+    while len(paths) < num_routes:
+        k = len(paths) % max(len(paths), 1)
+        paths.append(paths[k])
+        starts.append(starts[k])
+    paths, starts = paths[:num_routes], starts[:num_routes]
+    routes = [_route_from_path(g, p) for p in paths]
+    pool = stack_routes(routes)
+    if with_meta:
+        return pool, {"start_wps": starts, "lengths": [len(p) for p in paths]}
+    return pool
 
 
 # ---------------------------------------------------------------------------

@@ -65,6 +65,9 @@ class CILRS(nn.Module):
     num_commands: int = 4
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
+    # ResNet-34 by default; tests use tiny stage configs for fast CPU compiles.
+    stage_sizes: tuple = (3, 4, 6, 3)
+    stage_features: tuple = (64, 128, 256, 512)
 
     @nn.compact
     def __call__(self, image, speed, command, train: bool = False):
@@ -73,7 +76,10 @@ class CILRS(nn.Module):
         Returns (controls [B,3] = steer/throttle/brake raw outputs,
                  pred_speed [B] normalized auxiliary speed).
         """
-        visual = ResNet34(dtype=self.dtype, name="visual_encoder")(image, train=train)
+        visual = ResNet34(
+            stage_sizes=self.stage_sizes, stage_features=self.stage_features,
+            dtype=self.dtype, name="visual_encoder",
+        )(image, train=train)
 
         s = speed[:, None].astype(jnp.float32)
         s = nn.Dense(SPEED_DIM, name="speed_fc1")(s)

@@ -1,0 +1,119 @@
+"""Orbax checkpointing with real resume.
+
+The reference saves checkpoint_best.pth / checkpoint_latest.pth every epoch
+(notebook PART D: model + optimizer state, epoch, val_loss, config, per-command
+errors) but never implements resume (SURVEY.md §5 checkpoint/resume). Here
+`save_checkpoint`/`restore_latest` round-trip the full train state including the
+optimizer and schedule step, so training continues exactly where it stopped.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from cilrs_tpu.train.state import CILRSTrainState
+
+BEST_NAME = "best"
+LATEST_NAME = "latest"
+
+
+def _mgr(ckpt_dir: str) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
+    )
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    state: CILRSTrainState,
+    epoch: int,
+    val_loss: float,
+    extra: dict[str, Any] | None = None,
+    is_best: bool = False,
+):
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    meta = {"epoch": epoch, "val_loss": float(val_loss), **(extra or {})}
+    with _mgr(ckpt_dir) as mgr:
+        mgr.save(
+            epoch,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(payload),
+                meta=ocp.args.JsonSave(meta),
+            ),
+        )
+        mgr.wait_until_finished()
+    if is_best:
+        best_path = os.path.join(os.path.abspath(ckpt_dir), "best_epoch.txt")
+        with open(best_path, "w") as f:
+            f.write(f"{epoch} {val_loss}\n")
+
+
+def restore_latest(ckpt_dir: str, state: CILRSTrainState):
+    """Returns (state, epoch, val_loss) or (state, 0, inf) if nothing saved."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        return state, 0, float("inf")
+    with _mgr(ckpt_dir) as mgr:
+        step = mgr.latest_step()
+        if step is None:
+            return state, 0, float("inf")
+        template = {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+        restored = mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(template),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+    payload, meta = restored["state"], restored["meta"]
+    new_state = state.replace(
+        step=jax.numpy.asarray(payload["step"]),
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+        opt_state=payload["opt_state"],
+    )
+    return new_state, int(meta["epoch"]), float(meta["val_loss"])
+
+
+def restore_best_params(ckpt_dir: str, state: CILRSTrainState):
+    """Load the best epoch's params for inference (checkpoint_best.pth parity)."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    best_path = os.path.join(ckpt_dir, "best_epoch.txt")
+    if os.path.exists(best_path):
+        epoch = int(open(best_path).read().split()[0])
+    else:
+        with _mgr(ckpt_dir) as mgr:
+            epoch = mgr.latest_step()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    template = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    with _mgr(ckpt_dir) as mgr:
+        restored = mgr.restore(
+            epoch,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
+        )
+    payload = restored["state"]
+    return state.replace(
+        params=payload["params"], batch_stats=payload["batch_stats"]
+    )

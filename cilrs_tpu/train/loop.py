@@ -1,0 +1,139 @@
+"""The training loop: epochs, validation, early stopping, history, checkpoints.
+
+Host-side orchestration of the jitted steps — the counterpart of notebook
+PARTs D/E: per-epoch train + validate with per-command steer errors, StepLR
+(inside the optimizer schedule), best/latest checkpoints, early stop after 6
+epochs without improvement, and training_history.csv. Batches shard over the
+mesh's data axis; the model replicates.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cilrs_tpu.config import COMMAND_NAMES, TrainConfig
+from cilrs_tpu.data.dataset import DriveDataset, WeightedBatchSampler, stratified_split
+from cilrs_tpu.parallel.mesh import batch_spec, make_mesh, replicate
+from cilrs_tpu.train import checkpoint as ckpt
+from cilrs_tpu.train.state import CILRSTrainState, create_train_state
+from cilrs_tpu.train.steps import make_eval_step, make_train_step
+
+
+def _device_batch(ds: DriveDataset, idx: np.ndarray, sharding=None):
+    batch = {
+        "images": ds.images[idx],
+        "speed": ds.speed_norm[idx],
+        "command": ds.command[idx],
+        "controls": ds.controls[idx],
+    }
+    if sharding is not None:
+        batch = jax.device_put(batch, sharding)
+    return batch
+
+
+def train(
+    ds: DriveDataset,
+    cfg: TrainConfig | None = None,
+    ckpt_dir: str | None = None,
+    resume: bool = False,
+    mesh=None,
+    steps_per_epoch: int | None = None,
+    verbose: bool = True,
+) -> dict:
+    """Full training run. Returns history dict incl. best_val_loss."""
+    cfg = cfg or TrainConfig()
+    mesh = mesh or make_mesh()
+    bspec = batch_spec(mesh)
+
+    train_idx, val_idx = stratified_split(ds, cfg.training.val_fraction, cfg.training.seed)
+    B = cfg.training.batch_size
+    # Round batch to the mesh size for even sharding.
+    n_dev = len(mesh.devices.flatten())
+    B = max(n_dev, (B // n_dev) * n_dev)
+    spe = steps_per_epoch or max(1, len(train_idx) // B)
+
+    state = create_train_state(cfg, jax.random.PRNGKey(cfg.training.seed), spe)
+    state = jax.tree.map(
+        lambda x: replicate(mesh, x) if isinstance(x, jax.Array) else x, state
+    )
+    start_epoch, best_val = 0, float("inf")
+    if resume and ckpt_dir:
+        state, start_epoch, best_val = ckpt.restore_latest(ckpt_dir, state)
+        if verbose and start_epoch:
+            print(f"  resumed from epoch {start_epoch} (val {best_val:.4f})")
+
+    train_step = jax.jit(make_train_step(cfg), donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(cfg))
+
+    sampler = WeightedBatchSampler(ds.command[train_idx], B, cfg.training.seed)
+    rng = jax.random.PRNGKey(cfg.training.seed + 1)
+
+    history = []
+    patience = 0
+    for epoch in range(start_epoch, cfg.training.epochs):
+        t0 = time.time()
+        train_losses = []
+        for it in sampler.epoch(spe):
+            batch = _device_batch(ds, train_idx[it], bspec)
+            state, parts = train_step(state, batch, rng)
+            train_losses.append(parts["loss"])
+        train_loss = float(np.mean([float(l) for l in train_losses]))
+
+        # Validation (full pass, fixed order). When the val split is smaller
+        # than one batch, wrap around so at least one (padded) batch runs.
+        val_losses, err_sum, cnt = [], np.zeros(4), np.zeros(4)
+        if len(val_idx) < B:
+            val_iter = [np.resize(val_idx, B)]
+        else:
+            val_iter = [val_idx[s : s + B] for s in range(0, len(val_idx) - B + 1, B)]
+        for vidx in val_iter:
+            batch = _device_batch(ds, vidx, bspec)
+            parts = eval_step(state, batch)
+            val_losses.append(float(parts["loss"]))
+            err_sum += np.asarray(parts["cmd_steer_err_sum"])
+            cnt += np.asarray(parts["cmd_count"])
+        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+        cmd_err = {COMMAND_NAMES[i]: float(err_sum[i] / max(cnt[i], 1)) for i in range(4)}
+
+        ep_time = time.time() - t0
+        history.append({
+            "epoch": epoch + 1, "train_loss": train_loss, "val_loss": val_loss,
+            "time_s": ep_time, **{f"steer_err_{k}": v for k, v in cmd_err.items()},
+        })
+        if verbose:
+            print(f"  epoch {epoch + 1}/{cfg.training.epochs}: train {train_loss:.4f} "
+                  f"val {val_loss:.4f} ({ep_time:.1f}s) cmd_err {cmd_err}")
+
+        improved = val_loss < best_val
+        if improved:
+            best_val = val_loss
+            patience = 0
+        else:
+            patience += 1
+        if ckpt_dir:
+            ckpt.save_checkpoint(ckpt_dir, state, epoch + 1, val_loss,
+                                 extra={"cmd_steer_errors": cmd_err}, is_best=improved)
+        if patience >= cfg.training.early_stop_patience:
+            if verbose:
+                print(f"  early stop at epoch {epoch + 1}")
+            break
+
+    if ckpt_dir:
+        _write_history(os.path.join(ckpt_dir, "training_history.csv"), history)
+    return {"history": history, "best_val_loss": best_val, "state": state}
+
+
+def _write_history(path: str, history: list[dict]):
+    if not history:
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(history[0].keys()))
+        w.writeheader()
+        w.writerows(history)

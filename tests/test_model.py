@@ -5,9 +5,12 @@ import numpy as np
 from cilrs_tpu.models import CILRS, cilrs_loss
 
 
-def _init(batch=2, dropout=0.0):
-    model = CILRS(dropout=dropout)
-    img = jnp.zeros((batch, 88, 200, 3), jnp.float32)
+def _init(batch=2, dropout=0.0, h=32, w=64):
+    # Small spatial size + shallow stages: the trunk is fully convolutional, so
+    # branch logic and conditioning are identical; full-size compile is covered
+    # on TPU by bench.py and the graft entry.
+    model = CILRS(dropout=dropout, stage_sizes=(1, 1, 1, 1))
+    img = jnp.zeros((batch, h, w, 3), jnp.float32)
     speed = jnp.zeros((batch,), jnp.float32)
     cmd = jnp.zeros((batch,), jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), img, speed, cmd, train=False)
@@ -16,8 +19,18 @@ def _init(batch=2, dropout=0.0):
 
 def test_param_count_matches_reference():
     # Reference reports 22.4 M params (README.md:22, train_config.json:12).
-    _, variables, _ = _init()
-    n = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
+    # eval_shape avoids compiling the full 88x200 forward on CPU.
+    model = CILRS(dropout=0.0)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 88, 200, 3), jnp.float32),
+            jnp.zeros((1,), jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+            train=False,
+        )
+    )
+    n = sum(np.prod(p.shape) for p in jax.tree.leaves(shapes["params"]))
     assert 21.5e6 < n < 23.5e6, f"param count {n}"
 
 
@@ -56,8 +69,8 @@ def test_loss_values():
 
 
 def test_train_mode_with_dropout_runs():
-    model = CILRS(dropout=0.5)
-    img = jnp.zeros((2, 88, 200, 3), jnp.float32)
+    model = CILRS(dropout=0.5, stage_sizes=(1, 1, 1, 1))
+    img = jnp.zeros((2, 32, 64, 3), jnp.float32)
     speed = jnp.zeros((2,), jnp.float32)
     cmd = jnp.zeros((2,), jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), img, speed, cmd, train=False)
