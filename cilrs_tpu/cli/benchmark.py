@@ -1,0 +1,106 @@
+"""5-weather closed-loop benchmark -> markdown report.
+
+Reproduces the reference's evaluation protocol (RESULTS.md:151-165 /
+output/weather_benchmarks.md): for each of clear/rain/fog/night/hardrain, run
+spawn -> destination with NPC traffic and score with Safety*0.6 + Comfort*0.3 +
+Route*0.1, then emit a RESULTS.md-style table.
+
+    python -m cilrs_tpu.cli.benchmark --checkpoint runs/cilrs --out RESULTS_tpu.md \
+        --spawn 0 --destination 50 --vehicles 40 --pedestrians 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from cilrs_tpu.cli import drive as drive_cli
+from cilrs_tpu.config import WEATHER_NAMES
+
+WEATHER_LABELS = {
+    "clear": "Clear", "rain": "Rain", "fog": "Fog",
+    "night": "Night", "hardrain": "Hard Rain",
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="CILRS-TPU 5-weather benchmark")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--duration", type=float, default=300.0)
+    p.add_argument("--spawn", type=int, default=0)
+    p.add_argument("--destination", type=int, default=50)
+    p.add_argument("--vehicles", type=int, default=40)
+    p.add_argument("--pedestrians", type=int, default=5)
+    p.add_argument("--map", default="town01")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="RESULTS_tpu.md")
+    p.add_argument("--json-out", default=None)
+    p.add_argument("--autopilot", action="store_true")
+    p.add_argument("--weathers", nargs="*", default=list(WEATHER_NAMES))
+    args = p.parse_args(argv)
+
+    results = {}
+    for weather in args.weathers:
+        print(f"\n===== {weather} =====")
+        drive_args = [
+            "--duration", str(args.duration), "--spawn", str(args.spawn),
+            "--destination", str(args.destination),
+            "--vehicles", str(args.vehicles),
+            "--pedestrians", str(args.pedestrians),
+            "--weather", weather, "--map", args.map, "--seed", str(args.seed),
+            "--no-hud",
+        ]
+        if args.autopilot:
+            drive_args.append("--autopilot")
+        elif args.checkpoint:
+            drive_args += ["--checkpoint", args.checkpoint]
+        results[weather] = drive_cli.main(drive_args)
+
+    md = _format_markdown(results, args)
+    with open(args.out, "w") as f:
+        f.write(md)
+    print(f"\nbenchmark report -> {args.out}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+def _format_markdown(results: dict, args) -> str:
+    rows = []
+    total = 0.0
+    collisions = 0.0
+    completed = 0
+    for w, s in results.items():
+        rows.append(
+            f"| {WEATHER_LABELS.get(w, w)} | {s['overall']:.1f} | {s['grade'].split()[0]} | "
+            f"{s['collisions']:.0f} | {'yes' if s['routes_completed'] >= 1 else 'no'} | "
+            f"{s['total_time_s']:.0f} s | {s['max_speed_kmh']:.1f} km/h |"
+        )
+        total += s["overall"]
+        collisions += s["collisions"]
+        completed += int(s["routes_completed"] >= 1)
+    avg = total / max(len(results), 1)
+    return "\n".join([
+        "# CILRS-TPU 5-Weather Closed-Loop Benchmark",
+        "",
+        f"Protocol: spawn {args.spawn} -> destination {args.destination}, "
+        f"{args.vehicles} NPC vehicles, {args.pedestrians} pedestrians, map {args.map}, "
+        f"20 Hz, duration cap {args.duration:.0f} s. "
+        f"Policy: {'rule-based autopilot' if args.autopilot else args.checkpoint or 'untrained'}.",
+        "",
+        "| Weather | Overall | Grade | Collisions | Destination | Time | Max speed |",
+        "|---------|---------|-------|------------|-------------|------|-----------|",
+        *rows,
+        "",
+        f"**Average score: {avg:.1f} / 100 — {collisions:.0f} total collisions — "
+        f"{completed}/{len(results)} destinations reached.**",
+        "",
+        f"_Scoring: Safety x0.6 + Comfort x0.3 + Route x0.1 "
+        f"(reference formula, model/autonomous_drive.py:93-155). Generated {time.strftime('%Y-%m-%d %H:%M')}._",
+    ])
+
+
+if __name__ == "__main__":
+    main()

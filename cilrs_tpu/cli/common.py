@@ -24,24 +24,30 @@ def build_map(spec: str) -> RoadNetwork:
 
 
 def load_policy(checkpoint: str | None, cfg: TrainConfig | None = None):
-    """Returns (policy_fn, train_state). Random init + warning if no checkpoint
-    (the reference requires --checkpoint; we allow smoke runs without one)."""
+    """Returns (apply_fn, variables).
+
+    IMPORTANT: callers must pass `variables` as a traced jit ARGUMENT and build
+    the per-call policy closure inside the jitted function — closing over the
+    22 M-param pytree turns it into 90 MB of jaxpr constants, which cripples
+    (remote) compilation.
+
+    Accepts Orbax checkpoint dirs or reference torch .pth files
+    (checkpoint_best.pth interop via models.torch_import).
+    """
     from cilrs_tpu.train.checkpoint import restore_best_params
     from cilrs_tpu.train.state import create_train_state
 
     cfg = cfg or TrainConfig()
     state = create_train_state(cfg, jax.random.PRNGKey(0))
+    if checkpoint and checkpoint.endswith((".pth", ".pt")):
+        from cilrs_tpu.models.torch_import import load_reference_checkpoint
+
+        variables = load_reference_checkpoint(checkpoint)
+        print(f"  loaded torch checkpoint: {checkpoint}")
+        return state.apply_fn, variables
     if checkpoint:
         state = restore_best_params(checkpoint, state)
         print(f"  loaded checkpoint: {checkpoint}")
     else:
         print("  WARNING: no --checkpoint given; driving with an untrained policy")
-
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    apply_fn = state.apply_fn
-
-    def policy_fn(image, speed_norm, command):
-        controls, _ = apply_fn(variables, image, speed_norm, command, train=False)
-        return controls
-
-    return policy_fn, state
+    return state.apply_fn, {"params": state.params, "batch_stats": state.batch_stats}

@@ -53,6 +53,9 @@ def main(argv=None):
     p.add_argument("--report-json", default=None)
     p.add_argument("--autopilot", action="store_true",
                    help="drive with the rule-based teacher instead of the model")
+    p.add_argument("--view", default="front", choices=["front", "chase"],
+                   help="HUD/video viewpoint (chase = spectator cam, "
+                        "reference :1612-1622)")
     args = p.parse_args(argv)
 
     t_setup = time.time()
@@ -84,20 +87,37 @@ def main(argv=None):
     print(f"  routes ready ({time.time() - t_setup:.1f}s)", flush=True)
 
     mode = "collect" if args.autopilot else "drive"
-    policy_fn = None
+    apply_fn, variables = (None, {})
     if not args.autopilot:
-        policy_fn, _ = load_policy(args.checkpoint)
+        apply_fn, variables = load_policy(args.checkpoint)
 
     state = make_driver_state(world)
     scoring = load_scoring_config()
 
-    roll = jax.jit(functools.partial(
-        rollout, steps=CHUNK_TICKS, net=net, pool=pool, wt=wt, params=params,
-        policy_fn=policy_fn, mode=mode, want_frames=True,
-        loop_routes=loop_routes,
-    ))
+    # net/pool/variables are traced ARGUMENTS: closing over them would bake
+    # ~90 MB of constants into the program and cripple (remote) compilation.
+    @jax.jit
+    def roll(st, net_, pool_, variables_):
+        if mode == "drive":
+            def policy_fn(image, speed_norm, command):
+                controls, _ = apply_fn(variables_, image, speed_norm, command, train=False)
+                return controls
+        else:
+            policy_fn = None
+        return rollout(st, steps=CHUNK_TICKS, net=net_, pool=pool_, wt=wt,
+                       params=params, policy_fn=policy_fn, mode=mode,
+                       want_frames=True, loop_routes=loop_routes)
 
     pool_end_xy = np.asarray(pool.xy[:, -1])  # host copy for HUD distance
+
+    chase_render = None
+    if args.view == "chase":
+        from cilrs_tpu.maps.network import light_states
+        from cilrs_tpu.render.camera import CHASE_CAMERA
+        from cilrs_tpu.render.raster import render_frame as _rf
+
+        chase_render = jax.jit(lambda w, net_: _rf(
+            net_, w, light_states(net_, w.time_s), CHASE_CAMERA, include_ego=True))
 
     hud = None
     video = None
@@ -117,12 +137,15 @@ def main(argv=None):
     t_wall = time.time()
     running = True
     while done_ticks < total_ticks and running:
-        state, outs = roll(state)
+        state, outs = roll(state, net, pool, variables)
         done_ticks += CHUNK_TICKS
         scores = compute_scores(state.metrics, scoring)
 
         if hud is not None or video is not None:
-            frame = np.asarray(outs["frame"][-1])
+            if chase_render is not None:
+                frame = np.asarray(chase_render(state.world, net))
+            else:
+                frame = np.asarray(outs["frame"][-1])
             canvas = DashboardHUD.compose(
                 hud or DashboardHUD(),
                 frame,

@@ -23,11 +23,20 @@ class CameraSpec:
     fov_deg: float = 100.0
     offset_fwd: float = 2.0
     offset_up: float = 1.4
+    pitch_deg: float = 0.0  # negative looks down
     far: float = 150.0
 
     @property
     def tan_half_fov(self) -> float:
         return math.tan(math.radians(self.fov_deg) / 2.0)
+
+
+# Third-person spectator rig, parity with the reference's chase-cam placement
+# (model/autonomous_drive.py:1612-1622: behind and above the ego, pitched down).
+CHASE_CAMERA = CameraSpec(
+    width=320, height=180, fov_deg=90.0,
+    offset_fwd=-7.5, offset_up=3.2, pitch_deg=-12.0,
+)
 
 
 def ray_directions(spec: CameraSpec, yaw: jnp.ndarray) -> jnp.ndarray:
@@ -47,9 +56,11 @@ def ray_directions(spec: CameraSpec, yaw: jnp.ndarray) -> jnp.ndarray:
     tv = th * 0.75
     uu, vv = jnp.meshgrid(u * th, v * tv)  # [H, W]
 
-    fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw), jnp.zeros_like(yaw)])
+    pitch = math.radians(spec.pitch_deg)
+    cp, sp = math.cos(pitch), math.sin(pitch)
+    fwd = jnp.stack([jnp.cos(yaw) * cp, jnp.sin(yaw) * cp, jnp.full_like(yaw, sp)])
     right = jnp.stack([jnp.sin(yaw), -jnp.cos(yaw), jnp.zeros_like(yaw)])
-    up = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    up = jnp.stack([-jnp.cos(yaw) * sp, -jnp.sin(yaw) * sp, jnp.full_like(yaw, cp)])
 
     d = (fwd[None, None, :]
          + uu[..., None] * right[None, None, :]

@@ -19,11 +19,11 @@ batches it over environments.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cilrs_tpu.core.state import WorldState
 from cilrs_tpu.maps.network import LIGHT_GREEN, LIGHT_RED, LIGHT_YELLOW, RoadNetwork
-from cilrs_tpu.maps.queries import sample_texture
 from cilrs_tpu.render import weather as wx
 from cilrs_tpu.render.camera import CameraSpec, camera_position, ray_directions
 
@@ -64,8 +64,57 @@ _LIGHT_COLORS = jnp.array([
 ], jnp.float32)
 
 
+NUM_NEAR_SEGMENTS = 160  # lane segments culled around the ego per frame
+ROAD_HALF_W = 2.2  # m from a lane centerline (lanes 3.5 m, centers 3.5 m apart)
+SIDEWALK_OUT = 4.2
+MARKING_LAT = 1.75  # road-center double line sits left of each lane center
+MARKING_HALF_W = 0.22
+
+
 def _safe_div(a, b):
     return a / jnp.where(jnp.abs(b) < 1e-7, jnp.where(b >= 0, 1e-7, -1e-7), b)
+
+
+def _ground_masks(net: RoadNetwork, ego_pos: jnp.ndarray, gxy: jnp.ndarray):
+    """Analytic (gather-free per pixel) ground classification.
+
+    Per-pixel texture fetches are gathers — pathologically slow on the TPU's
+    strided vector memory. Instead we cull the K lane segments nearest the ego
+    (one small top_k + gather per FRAME, not per pixel) and classify each ground
+    hit by its min distance / signed lateral offset to those segments: pure
+    elementwise math + a K-reduction that XLA fuses into one VPU loop.
+
+    Returns (road, marking, sidewalk) float masks of shape gxy.shape[:-1].
+    """
+    d2 = jnp.sum((net.wp_xy - ego_pos) ** 2, axis=-1)  # [W]
+    _, idx = jax.lax.top_k(-d2, NUM_NEAR_SEGMENTS)  # K nearest waypoints
+    a = net.wp_xy[idx]  # [K,2]
+    b = net.wp_xy[net.wp_next[idx, 0]]
+    junction = net.wp_is_junction[idx]
+    dash_on = (idx % 3) != 2  # same 2-on/1-off cadence as the map texture
+
+    ab = b - a
+    seg_len = jnp.sqrt(jnp.sum(ab * ab, axis=-1) + 1e-9)  # [K]
+    dirn = ab / seg_len[:, None]
+
+    rel = gxy[..., None, :] - a  # [N,K,2]
+    s = rel[..., 0] * dirn[:, 0] + rel[..., 1] * dirn[:, 1]  # [N,K] along-track
+    t = jnp.clip(s, 0.0, seg_len)
+    lat = rel[..., 1] * dirn[:, 0] - rel[..., 0] * dirn[:, 1]  # signed, left +
+    dx = rel[..., 0] - t * dirn[:, 0]
+    dy = rel[..., 1] - t * dirn[:, 1]
+    d = jnp.sqrt(dx * dx + dy * dy + 1e-12)  # [N,K]
+
+    dmin = jnp.min(d, axis=-1)  # [N]
+    road = (dmin < ROAD_HALF_W).astype(jnp.float32)
+    sidewalk = ((dmin >= ROAD_HALF_W) & (dmin < SIDEWALK_OUT)).astype(jnp.float32)
+    on_marking = (
+        (jnp.abs(lat - MARKING_LAT) < MARKING_HALF_W)
+        & (s > 0.0) & (s < seg_len)
+        & dash_on & ~junction
+    )
+    marking = jnp.any(on_marking, axis=-1).astype(jnp.float32) * road
+    return road, marking, sidewalk
 
 
 def _ray_obb(o, d, center_xy, yaw, half_l, half_w, height):
@@ -133,6 +182,7 @@ def render_frame(
     world: WorldState,
     light_state: jnp.ndarray,  # [L] int32 from maps.network.light_states
     spec: CameraSpec = CAMERA,
+    include_ego: bool = False,  # True for chase/spectator views
 ) -> jnp.ndarray:
     """Render the ego's front camera. Returns [H, W, 3] float32 in [0, 1]."""
     H, W = spec.height, spec.width
@@ -145,24 +195,33 @@ def render_frame(
     t_ground = jnp.where(dz < -1e-4, o[2] / jnp.maximum(-dz, 1e-6), INF)
     t_ground = jnp.where(t_ground < spec.far, t_ground, INF)
     gxy = o[:2] + rays[:, :2] * t_ground[:, None]
-    tex = sample_texture(net, gxy)  # [N,3] road, marking, sidewalk
+    road, marking, sidewalk = _ground_masks(net, world.ego_pos, gxy)
     road_c = wx.wet_darken(world.weather_idx, _ASPHALT)
     g = _GRASS
-    g = g * (1 - tex[:, 2:3]) + _SIDEWALK * tex[:, 2:3]
-    g = g * (1 - tex[:, 0:1]) + road_c * tex[:, 0:1]
-    g = g * (1 - tex[:, 1:2]) + _MARKING * tex[:, 1:2]
+    g = g * (1 - sidewalk[:, None]) + _SIDEWALK * sidewalk[:, None]
+    g = g * (1 - road[:, None]) + road_c * road[:, None]
+    g = g * (1 - marking[:, None]) + _MARKING * marking[:, None]
     ground_color = g
 
     # --- vehicles (all except ego) ---
-    vpos = world.veh_pos[1:]
-    vyaw = world.veh_yaw[1:]
-    valive = world.veh_alive[1:]
+    # No per-pixel gathers anywhere below: nearest-hit colors are resolved with
+    # a one-hot mask contraction (an [N,V]x[V,3] matmul -> MXU) instead of
+    # argmin + take_along_axis, which lowers to pathologically slow per-lane
+    # gathers on TPU.
+    lo = 0 if include_ego else 1
+    vpos = world.veh_pos[lo:]
+    vyaw = world.veh_yaw[lo:]
+    valive = world.veh_alive[lo:]
+    V1 = vpos.shape[0]
     t_veh, shade = _ray_obb(o, rays, vpos, vyaw, 4.7 / 2, 2.0 / 2, VEH_HEIGHT)
     t_veh = jnp.where(valive[None, :], t_veh, INF)
-    vidx = jnp.argmin(t_veh, axis=1)
-    t_v = jnp.take_along_axis(t_veh, vidx[:, None], axis=1)[:, 0]
-    sh_v = jnp.take_along_axis(shade, vidx[:, None], axis=1)[:, 0]
-    v_color = _VEH_COLORS[(vidx + 1) % _VEH_COLORS.shape[0]] * sh_v[:, None]
+    t_v = jnp.min(t_veh, axis=1)
+    is_min = (t_veh <= t_v[:, None] + 1e-3) & (t_veh < INF)
+    norm = jnp.maximum(jnp.sum(is_min, axis=1, keepdims=True), 1)
+    w_v = is_min.astype(jnp.float32) / norm  # [N, V1]
+    palette = _VEH_COLORS[(jnp.arange(V1) + 1) % _VEH_COLORS.shape[0]]  # [V1,3] (once)
+    sh_v = jnp.sum(w_v * shade, axis=1)
+    v_color = (w_v @ palette) * sh_v[:, None]
 
     # --- pedestrians ---
     t_ped_all = _ray_cylinder(o, rays, world.ped_pos, PED_RADIUS, PED_HEIGHT)
@@ -174,7 +233,7 @@ def render_frame(
     K = min(NUM_NEAR_LIGHTS, max(L, 1))
     if L > 0:
         d2l = jnp.sum((net.light_xy - world.ego_pos) ** 2, axis=-1)
-        near = jnp.argsort(d2l)[:K]
+        _, near = jax.lax.top_k(-d2l, K)  # per-frame cull (small gather)
         lxy = net.light_xy[near]
         lyaw = net.light_yaw[near]
         lstate = light_state[near]
@@ -187,27 +246,30 @@ def render_frame(
             [pole_xy, jnp.full((K, 1), LIGHT_POLE_H, jnp.float32)], axis=-1
         )
         t_head = _ray_sphere(o, rays, head, LIGHT_HEAD_R)
-        hidx = jnp.argmin(t_head, axis=1)
-        t_h = jnp.take_along_axis(t_head, hidx[:, None], axis=1)[:, 0]
-        head_color = _LIGHT_COLORS[lstate[hidx]]
+        t_h = jnp.min(t_head, axis=1)
+        is_min_h = (t_head <= t_h[:, None] + 1e-3) & (t_head < INF)
+        norm_h = jnp.maximum(jnp.sum(is_min_h, axis=1, keepdims=True), 1)
+        head_palette = _LIGHT_COLORS[lstate]  # [K,3] per frame, tiny
+        head_color = (is_min_h.astype(jnp.float32) / norm_h) @ head_palette
     else:
         t_pole_min = jnp.full((N,), INF)
         t_h = jnp.full((N,), INF)
         head_color = jnp.zeros((N, 3))
 
-    # --- compose: nearest hit wins ---
-    t_all = jnp.stack([t_ground, t_v, t_p, t_pole_min, t_h], axis=0)  # [5,N]
-    colors = jnp.stack(
-        [ground_color,
-         v_color,
-         jnp.broadcast_to(_PED_COLOR, (N, 3)),
-         jnp.broadcast_to(_POLE, (N, 3)),
-         head_color],
-        axis=0,
-    )  # [5,N,3]
-    winner = jnp.argmin(t_all, axis=0)  # [N]
-    t_hit = jnp.min(t_all, axis=0)
-    surf = jnp.take_along_axis(colors, winner[None, :, None], axis=0)[0]  # [N,3]
+    # --- compose: nearest hit wins (elementwise select chain, no gathers) ---
+    t_hit = t_ground
+    surf = ground_color
+    emissive = jnp.zeros((N,), bool)
+    for t_layer, c_layer, em in (
+        (t_v, v_color, False),
+        (t_p, jnp.broadcast_to(_PED_COLOR, (N, 3)), False),
+        (t_pole_min, jnp.broadcast_to(_POLE, (N, 3)), False),
+        (t_h, head_color, True),
+    ):
+        closer = t_layer < t_hit
+        surf = jnp.where(closer[:, None], c_layer, surf)
+        emissive = jnp.where(closer, em, emissive)
+        t_hit = jnp.minimum(t_layer, t_hit)
     is_sky = t_hit >= INF
 
     # --- sky + atmosphere ---
@@ -215,7 +277,7 @@ def render_frame(
     sky = wx.sky_color(world.weather_idx, elev)
     lit = wx.apply_atmosphere(world.weather_idx, surf, jnp.minimum(t_hit, spec.far))
     # Emissive traffic-light heads skip lighting/fog dimming partially.
-    emissive = (winner == 4) & ~is_sky
+    emissive = emissive & ~is_sky
     lit = jnp.where(emissive[:, None], surf * 0.9 + lit * 0.1, lit)
     color = jnp.where(is_sky[:, None], sky, lit)
 

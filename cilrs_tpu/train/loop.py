@@ -126,6 +126,13 @@ def train(
 
     if ckpt_dir:
         _write_history(os.path.join(ckpt_dir, "training_history.csv"), history)
+        try:
+            from cilrs_tpu.train.plots import plot_training_curves
+
+            plot_training_curves(history, os.path.join(ckpt_dir, "training_curves.png"))
+        except Exception as e:  # matplotlib optional
+            if verbose:
+                print(f"  (training curves skipped: {e})")
     return {"history": history, "best_val_loss": best_val, "state": state}
 
 
