@@ -32,13 +32,20 @@ def autopilot_controls(
     """Returns (steer, throttle, brake) in the same ranges the model learns."""
     last = route.length - 1
 
-    # Pure pursuit: aim at a speed-scaled lookahead waypoint (min 3, +1 per 9 km/h).
-    lookahead = (3 + (speed_kmh * 0.11)).astype(jnp.int32)
+    # Pure pursuit: aim at a speed-scaled lookahead waypoint. Kept short so
+    # 90-degree junction arcs are tracked instead of corner-cut (the off-road
+    # metric measures distance to the lane centerline).
+    lookahead = (2 + (speed_kmh * 0.08)).astype(jnp.int32)
     target = route.xy[jnp.minimum(route_idx + lookahead, last)]
     to_t = target - pos
     desired = jnp.arctan2(to_t[1], to_t[0])
     err = wrap_angle(desired - yaw)
     steer = jnp.clip(err * 1.2, -1.0, 1.0)
+
+    # Upcoming-turn awareness: slow to intersection speed when the route bends.
+    ahead_yaw = route.yaw[jnp.minimum(route_idx + 6, last)]
+    bend = jnp.abs(wrap_angle(ahead_yaw - route.yaw[jnp.minimum(route_idx, last)]))
+    target_speed_kmh = jnp.where(bend > 0.3, 18.0, target_speed_kmh)
 
     # Speed control (proportional, like TM's smooth following).
     v_err = (target_speed_kmh - speed_kmh) / jnp.maximum(target_speed_kmh, 1.0)

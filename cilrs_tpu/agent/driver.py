@@ -42,7 +42,9 @@ from cilrs_tpu.config import SPEED_NORM_FACTOR, WeatherTable
 from cilrs_tpu.core.dynamics import detect_ego_collisions, world_physics_step
 from cilrs_tpu.core.state import VehicleParams, WorldState
 from cilrs_tpu.evaluation.metrics import Metrics, init_metrics, update_metrics
-from cilrs_tpu.maps.network import LIGHT_RED, RoadNetwork, light_states
+from cilrs_tpu.maps.network import (
+    LIGHT_RED, RoadNetwork, light_state_ages, light_states,
+)
 from cilrs_tpu.maps.routing import (
     RoutePool, get_command, is_complete, localize, steer_hint,
 )
@@ -131,7 +133,9 @@ def env_step(
 
     # --- perception ---
     obs_dist = perception.get_obstacle_distance(world)
-    tl_state = perception.check_traffic_light(net, lights, ego_pos, ego_yaw)
+    tl_state, tl_idx = perception.check_traffic_light(
+        net, lights, ego_pos, ego_yaw, return_index=True
+    )
     on_road = ~perception.ego_off_road(net, ego_pos)
 
     # --- camera + policy ---
@@ -156,9 +160,10 @@ def env_step(
         control = jnp.stack([a_steer, a_thr, a_brk])
         reverse = jnp.asarray(False)
         status = jnp.asarray(ST_OK, jnp.int32)
-        ctrl2 = state.ctrl
+        red_now = tl_state == LIGHT_RED
+        ctrl2 = state.ctrl.replace(waiting_for_red=red_now)
         events = {
-            "red_light_stop": jnp.asarray(False),
+            "red_light_stop": red_now & ~state.ctrl.waiting_for_red,
             "obstacle_brake": jnp.asarray(False),
             "teleport_request": jnp.asarray(False),
         }
@@ -194,9 +199,13 @@ def env_step(
     consec = jnp.where((~rec_active) & (rec_el > 20.0), 0, consec)
 
     # --- stuck detection (reference :1430-1464) ---
+    # Waiting at a red light is NOT stuck: the anchor clock holds while a red
+    # governs us (red phases last 13 s; queued starts can exceed 15 s).
+    at_red = tl_state == LIGHT_RED
     moved = jnp.linalg.norm(ego_pos - state.stuck_anchor_pos)
+    refresh = (moved > STUCK_DIST_M) | at_red
     anchor_pos = jnp.where(moved > STUCK_DIST_M, ego_pos, state.stuck_anchor_pos)
-    anchor_time = jnp.where(moved > STUCK_DIST_M, now, state.stuck_anchor_time)
+    anchor_time = jnp.where(refresh, now, state.stuck_anchor_time)
     stuck_still = (now - anchor_time) > STUCK_TIME_S
     waiting_long = ctrl2.waiting_for_traffic & (
         (now - ctrl2.traffic_wait_start) > TRAFFIC_WAIT_MAX_S
@@ -225,7 +234,17 @@ def env_step(
     teleport = (
         escalate | stuck | (off_streak > OFF_ROAD_STREAK_MAX) | events["teleport_request"]
     )
-    tp_idx = jnp.minimum(route_idx + TELEPORT_AHEAD, route.length - 1)
+    # Candidate landing spots ahead on the route, first one clear of actors
+    # (the reference scores teleport candidates by clearance, :1348-1428).
+    cand_idx = jnp.minimum(route_idx + jnp.array([5, 10, 15, 20]), route.length - 1)
+    cand_pos = route.xy[cand_idx]  # [4,2]
+    d_veh = jnp.linalg.norm(
+        cand_pos[:, None, :] - world2.veh_pos[None, 1:, :], axis=-1
+    )
+    clear = jnp.all(d_veh > 6.0, axis=1) | ~jnp.any(world2.veh_alive[1:])
+    pick = jnp.argmax(clear)  # first clear candidate; 0 if none (best effort)
+    pick = jnp.where(jnp.any(clear), pick, 3)  # none clear -> farthest
+    tp_idx = cand_idx[pick]
     tp_pos = route.xy[tp_idx]
     tp_yaw = route.yaw[tp_idx]
     veh_pos2 = jnp.where(teleport, world2.veh_pos.at[0].set(tp_pos), world2.veh_pos)
@@ -260,14 +279,38 @@ def env_step(
         route_done2 = state.route_done | at_dest
         new_attempt = jnp.asarray(False)
 
-    # --- red-light violation: crossing a governing red at speed ---
+    # --- red-light violation: CROSSING the governing stop line at speed on a
+    # red that has been red > 1.5 s (amber-dilemma grace). Being inside the
+    # 15 m obey window while still braking is NOT a violation. ---
+    if net.num_lights > 0:
+        red_age = light_state_ages(net, now)[jnp.maximum(tl_idx, 0)]
+        lxy = net.light_xy[jnp.maximum(tl_idx, 0)]
+        lfwd = jnp.stack([jnp.cos(net.light_yaw[jnp.maximum(tl_idx, 0)]),
+                          jnp.sin(net.light_yaw[jnp.maximum(tl_idx, 0)])])
+        lon_to_line = jnp.sum((world2.veh_pos[0] - lxy) * lfwd)
+        at_line = (lon_to_line > -2.0) & (tl_idx >= 0)
+    else:
+        red_age = jnp.asarray(0.0)
+        at_line = jnp.asarray(False)
     violation = (
-        (tl_state == LIGHT_RED) & (speed_kmh > 15.0)
+        (tl_state == LIGHT_RED) & at_line & (speed_kmh > 15.0) & (red_age > 1.5)
         & (now > state.violation_cd_until)
     )
     violation_cd = jnp.where(violation, now + 5.0, state.violation_cd_until)
 
-    # --- metrics ---
+    # In the pinned-destination protocol the run is OVER once the destination
+    # is reached: park the car and freeze the metrics (arrival time stays).
+    finished = state.route_done if not loop_routes else jnp.asarray(False)
+    if not loop_routes:
+        park = jnp.stack([jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(1.0)])
+        world2 = world2.replace(
+            veh_control=jnp.where(finished, world2.veh_control.at[0].set(park),
+                                  world2.veh_control),
+            veh_speed=jnp.where(finished, world2.veh_speed.at[0].set(0.0),
+                                world2.veh_speed),
+        )
+
+    # --- metrics (frozen after arrival in pinned-destination mode) ---
     metrics = update_metrics(
         state.metrics,
         speed_kmh=speed_kmh,
@@ -284,6 +327,10 @@ def env_step(
         route_attempted=new_attempt,  # a new attempt starts when we loop onward
         teleported=teleport,
         recovered=start_rec,
+    )
+    metrics = jax.tree.map(
+        lambda frozen, live: jnp.where(finished, frozen, live),
+        state.metrics, metrics,
     )
 
     new_state = DriverState(
@@ -303,7 +350,8 @@ def env_step(
         route_done=route_done2,
     )
     outputs = {
-        "frame": frame if want_frame else None,
+        # uint8 on device: 4x less host-transfer volume for collection.
+        "frame": (jnp.clip(frame, 0.0, 1.0) * 255.0).astype(jnp.uint8) if want_frame else None,
         "control": control,
         "status": status,
         "command": cmd,

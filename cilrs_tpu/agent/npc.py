@@ -19,8 +19,10 @@ from cilrs_tpu.core.state import WorldState
 from cilrs_tpu.maps.network import LIGHT_RED, LIGHT_YELLOW, RoadNetwork
 
 WP_REACH_DIST = 3.0
-LEAD_GAP_STOP = 5.0  # hard stop gap (TM leading distance 3 m + bumper)
-LEAD_GAP_SLOW = 12.0
+# Gaps are center-to-center; two 4.7 m cars touch at ~4.6 m, and stopping from
+# the 21 km/h flow takes ~2.6 m — the stop gap must cover both.
+LEAD_GAP_STOP = 9.0
+LEAD_GAP_SLOW = 18.0
 LIGHT_STOP_DIST = 12.0
 
 
@@ -86,26 +88,53 @@ def npc_controller(
     blockp = world.ped_alive[None, :] & (lonp > 0.0) & (lonp < 25.0) & (jnp.abs(latp) < 2.2)
     lead_gap = jnp.minimum(lead_gap, jnp.min(jnp.where(blockp, lonp, 1e6), axis=1))
 
-    # Traffic lights: stop if a governing light ahead is red/yellow.
+    # Traffic lights: stop if the light governing MY approach lane is red/yellow.
+    # Lane-based gating (longitudinal window behind the stop line + lateral
+    # on-lane check) — heading-only gating false-triggers on the far-side
+    # approach of crossed junctions.
     if net.num_lights > 0:
         to_l = net.light_xy[None, :, :] - pos[:, None, :]  # [V,L,2]
-        dl = jnp.linalg.norm(to_l, axis=-1)
+        lfwd = heading_vec(net.light_yaw)  # [L,2]
         align = jnp.cos(yaw)[:, None] * jnp.cos(net.light_yaw)[None, :] + \
             jnp.sin(yaw)[:, None] * jnp.sin(net.light_yaw)[None, :]
-        ahead = (to_l[..., 0] * fwd[:, None, 0] + to_l[..., 1] * fwd[:, None, 1]) > -1.0
+        lon = -(to_l[..., 0] * lfwd[None, :, 0] + to_l[..., 1] * lfwd[None, :, 1])
+        lat_l = jnp.abs(to_l[..., 0] * lfwd[None, :, 1] - to_l[..., 1] * lfwd[None, :, 0])
         stopgo = (light_state[None, :] == LIGHT_RED) | (light_state[None, :] == LIGHT_YELLOW)
-        gate = (dl <= LIGHT_STOP_DIST) & (align >= 0.5) & ahead & stopgo
+        gate = (
+            (lon >= -LIGHT_STOP_DIST) & (lon <= 1.0) & (lat_l <= 3.0)
+            & (align >= 0.5) & stopgo
+        )
         red_gate = jnp.any(gate, axis=1)
     else:
         red_gate = jnp.zeros((V,), bool)
 
+    # Junction conflict handling (CARLA TM does this inside the server): slow
+    # down inside junctions, and yield while turning left when any moving
+    # vehicle is converging within the conflict horizon. Predicted-position
+    # check at +0.6 s and +1.2 s resolves crossing paths that the instantaneous
+    # corridor misses.
+    in_junction = net.wp_is_junction[wp]
+    turning_left = net.wp_turn[wp] == 1
+    vel = heading_vec(yaw) * speed[:, None]  # [V,2]
+    conflict = jnp.zeros((V,), bool)
+    for horizon in (0.6, 1.2):
+        pi = pos + vel * horizon  # [V,2]
+        dd = jnp.linalg.norm(pi[None, :, :] - pi[:, None, :], axis=-1)
+        close = (dd < 3.5) & world.veh_alive[None, :] & ~same
+        # Only conflicts with actors that are actually moving (else deadlock).
+        moving = jnp.abs(world.veh_speed)[None, :] > 0.8
+        conflict = conflict | jnp.any(close & moving, axis=1)
+    yield_now = turning_left & in_junction & conflict
+
     # Longitudinal control: P-control to target speed with gap/light overrides.
     v_err = world.veh_target_speed - speed
+    junction_cap = jnp.where(in_junction, 15.0 / 3.6, 1e9)
+    v_err = jnp.minimum(v_err, junction_cap - speed)
     throttle = jnp.clip(v_err * 0.5, 0.0, 0.75)
     brake = jnp.clip(-v_err * 0.4, 0.0, 0.5)
     slow = lead_gap < LEAD_GAP_SLOW
     throttle = jnp.where(slow, jnp.minimum(throttle, 0.2), throttle)
-    stop = (lead_gap < LEAD_GAP_STOP) | red_gate
+    stop = (lead_gap < LEAD_GAP_STOP) | red_gate | yield_now
     throttle = jnp.where(stop, 0.0, throttle)
     brake = jnp.where(stop, 0.8, brake)
 

@@ -20,7 +20,7 @@ from cilrs_tpu.config import ObstacleConfig, TrafficLightConfig
 from cilrs_tpu.core.geometry import heading_vec
 from cilrs_tpu.core.state import WorldState
 from cilrs_tpu.maps.network import LIGHT_NONE, RoadNetwork
-from cilrs_tpu.maps.queries import nearest_lane_waypoint, OFF_ROAD_DIST
+from cilrs_tpu.maps.queries import nearest_lane_waypoint, nearest_waypoint, OFF_ROAD_DIST
 
 NO_OBSTACLE = 999.0
 
@@ -31,50 +31,88 @@ def check_traffic_light(
     pos: jnp.ndarray,  # [2]
     yaw: jnp.ndarray,
     cfg: TrafficLightConfig = TrafficLightConfig(),
-) -> jnp.ndarray:
-    """State (0 G / 1 Y / 2 R / 3 NONE) of the governing light, if any."""
+    return_index: bool = False,
+):
+    """State (0 G / 1 Y / 2 R / 3 NONE) of the governing light, if any.
+
+    With return_index=True also returns the governing light's index (-1 none).
+    """
     if net.num_lights == 0:
-        return jnp.asarray(LIGHT_NONE, jnp.int32)
+        state = jnp.asarray(LIGHT_NONE, jnp.int32)
+        return (state, jnp.asarray(-1, jnp.int32)) if return_index else state
     fwd = heading_vec(yaw)
     to_light = net.light_xy - pos  # [L,2]
     dist = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1) + 1e-9)
     approach_fwd = heading_vec(net.light_yaw)  # [L,2]
     align = jnp.sum(fwd * approach_fwd, axis=-1)  # same-direction approach
-    ahead = jnp.sum(fwd * to_light, axis=-1) > -2.0  # stop line at/ahead of us
-    relevant = (dist <= cfg.max_obey_distance_m) & (align >= cfg.heading_dot_threshold) & ahead
+    # Lane-based gating (CARLA's is_at_traffic_light is lane-aware): the ego
+    # must be ON the light's approach lane — behind its stop line (negative
+    # longitudinal up to the obey distance, at most 1 m past) and within a lane
+    # width laterally. Without this, the far-side approach of a crossed
+    # junction (same heading, opposite phase) false-triggers after turns.
+    lon = -(to_light[:, 0] * approach_fwd[:, 0] + to_light[:, 1] * approach_fwd[:, 1])
+    lat = jnp.abs(to_light[:, 0] * approach_fwd[:, 1] - to_light[:, 1] * approach_fwd[:, 0])
+    relevant = (
+        (lon >= -cfg.max_obey_distance_m) & (lon <= 1.0)
+        & (lat <= 3.0)
+        & (align >= cfg.heading_dot_threshold)
+    )
     d = jnp.where(relevant, dist, jnp.inf)
     idx = jnp.argmin(d)
-    return jnp.where(jnp.isfinite(d[idx]), light_state[idx], LIGHT_NONE).astype(jnp.int32)
+    found = jnp.isfinite(d[idx])
+    state = jnp.where(found, light_state[idx], LIGHT_NONE).astype(jnp.int32)
+    if return_index:
+        return state, jnp.where(found, idx, -1).astype(jnp.int32)
+    return state
+
+
+PREDICT_HORIZONS = (0.0, 0.6, 1.2)  # s — crossing-traffic anticipation
 
 
 def get_obstacle_distance(
     world: WorldState,
     cfg: ObstacleConfig = ObstacleConfig(),
 ) -> jnp.ndarray:
-    """Distance to the nearest actor in the ego's forward corridor (else 999)."""
+    """Distance to the nearest actor in the ego's forward corridor (else 999).
+
+    On top of the reference's instantaneous corridor, the same test is applied
+    at short prediction horizons (positions extrapolated by current velocity):
+    that anticipates crossing traffic at junctions, which the reference left to
+    CARLA's TrafficManager-side yielding (and to the documented-but-unshipped
+    oncoming-traffic filter, SURVEY.md §2.3 item 7).
+    """
     pos, yaw = world.ego_pos, world.ego_yaw
     fwd = heading_vec(yaw)
+    ego_vel = fwd * world.ego_speed
 
-    def corridor_min(actor_pos: jnp.ndarray, alive: jnp.ndarray) -> jnp.ndarray:
-        rel = actor_pos - pos  # [A,2]
-        dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-9)
-        dirn = rel / jnp.maximum(dist[:, None], 1e-6)
-        fdot = jnp.sum(dirn * fwd, axis=-1)
-        lateral = rel[:, 1] * fwd[0] - rel[:, 0] * fwd[1]  # cross(fwd, rel)
-        ok = (
-            alive
-            & (dist > cfg.min_detection_range_m)
-            & (dist <= cfg.max_detection_range_m)
-            & (fdot > cfg.forward_dot_threshold)
-            & (jnp.abs(lateral) <= cfg.lateral_threshold_m)
-        )
-        return jnp.min(jnp.where(ok, dist, NO_OBSTACLE))
+    def corridor_min(actor_pos, actor_vel, alive) -> jnp.ndarray:
+        best = jnp.asarray(NO_OBSTACLE)
+        for t in PREDICT_HORIZONS:
+            rel = (actor_pos + actor_vel * t) - (pos + ego_vel * t)  # [A,2]
+            dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-9)
+            dirn = rel / jnp.maximum(dist[:, None], 1e-6)
+            fdot = jnp.sum(dirn * fwd, axis=-1)
+            lateral = rel[:, 1] * fwd[0] - rel[:, 0] * fwd[1]  # cross(fwd, rel)
+            ok = (
+                alive
+                & (dist > cfg.min_detection_range_m)
+                & (dist <= cfg.max_detection_range_m)
+                & (fdot > cfg.forward_dot_threshold)
+                & (jnp.abs(lateral) <= cfg.lateral_threshold_m)
+            )
+            best = jnp.minimum(best, jnp.min(jnp.where(ok, dist, NO_OBSTACLE)))
+        return best
 
-    d_veh = corridor_min(world.veh_pos[1:], world.veh_alive[1:])
-    d_ped = corridor_min(world.ped_pos, world.ped_alive)
+    veh_vel = heading_vec(world.veh_yaw[1:]) * world.veh_speed[1:, None]
+    ped_vel = heading_vec(world.ped_yaw) * world.ped_speed[:, None]
+    d_veh = corridor_min(world.veh_pos[1:], veh_vel, world.veh_alive[1:])
+    d_ped = corridor_min(world.ped_pos, ped_vel, world.ped_alive)
     return jnp.minimum(d_veh, d_ped)
 
 
 def ego_off_road(net: RoadNetwork, pos: jnp.ndarray) -> jnp.ndarray:
-    _, dist = nearest_lane_waypoint(net, pos)
+    # ALL waypoints including junction connectors: CARLA's Driving-lane
+    # projection covers junction lanes too; excluding them would flag every
+    # junction crossing as off-road (setbacks are 9 m).
+    _, dist = nearest_waypoint(net, pos)
     return dist > OFF_ROAD_DIST

@@ -113,7 +113,7 @@ def collect_session(
     t0 = time.time()
     while total < num_frames:
         state, outs = chunk(state)
-        frames = np.asarray(jax.device_get(outs["frame"]))  # [E, T, H, W, 3] f32
+        frames = np.asarray(jax.device_get(outs["frame"]))  # [E, T, H, W, 3] uint8
         controls = np.asarray(outs["control"])  # [E, T, 3]
         speeds = np.asarray(outs["speed_kmh"])  # [E, T]
         cmds = np.asarray(outs["command"])
@@ -125,7 +125,7 @@ def collect_session(
         idx = np.nonzero(keep)[0]
         if idx.size == 0:
             continue
-        fr = (frames.reshape(E * T, *frames.shape[2:]) [idx] * 255).astype(np.uint8)
+        fr = frames.reshape(E * T, *frames.shape[2:])[idx]
         ct = controls.reshape(E * T, 3)[idx]
         sp = speeds.reshape(-1)[idx]
         cm = cmds.reshape(-1)[idx]

@@ -55,7 +55,10 @@ class DashboardHUD:
         """Returns the BGR uint8 canvas [540, 960, 3]."""
         if not HAS_CV2:
             raise RuntimeError("cv2 unavailable; HUD disabled")
-        img = (np.clip(frame01, 0, 1) * 255).astype(np.uint8)
+        if frame01.dtype == np.uint8:
+            img = frame01
+        else:
+            img = (np.clip(frame01, 0, 1) * 255).astype(np.uint8)
         canvas = cv2.resize(img[:, :, ::-1], (W, H), interpolation=cv2.INTER_NEAREST)
 
         # Semi-transparent bars (reference :200-208).

@@ -133,6 +133,18 @@ def light_states(net: RoadNetwork, time_s: jnp.ndarray) -> jnp.ndarray:
     ).astype(jnp.int32)
 
 
+def light_state_ages(net: RoadNetwork, time_s: jnp.ndarray) -> jnp.ndarray:
+    """Seconds since each light entered its current state ([L] f32)."""
+    t = jnp.mod(time_s, LIGHT_CYCLE_S)
+    local = jnp.mod(t - net.light_group.astype(jnp.float32) * LIGHT_PHASE_S,
+                    LIGHT_CYCLE_S)
+    return jnp.where(
+        local < LIGHT_GREEN_S,
+        local,
+        jnp.where(local < LIGHT_PHASE_S, local - LIGHT_GREEN_S, local - LIGHT_PHASE_S),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host-side builder (numpy)
 # ---------------------------------------------------------------------------
