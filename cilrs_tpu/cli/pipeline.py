@@ -1,0 +1,113 @@
+"""The fused pipeline: fleet collection -> training -> closed-loop benchmark.
+
+The reference spreads this over days of manual work (collect_data.py sessions,
+prepare_dataset.py, a Kaggle notebook, autonomous_drive.py runs); here it is one
+command on one machine (BASELINE.json config 5):
+
+    python -m cilrs_tpu.cli.pipeline --workdir runs/full --frames 150000 \
+        --epochs 15 --bench-duration 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from cilrs_tpu.cli.common import build_map
+from cilrs_tpu.config import WEATHER_NAMES, load_train_config, weather_index
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="CILRS-TPU collect->train->eval pipeline")
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--frames", type=int, default=150_000, help="total across weathers")
+    p.add_argument("--collect-weathers", nargs="*", default=["clear", "rain", "fog", "night", "hardrain"])
+    p.add_argument("--envs", type=int, default=16)
+    p.add_argument("--vehicles", type=int, default=12)
+    p.add_argument("--walkers", type=int, default=6)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--map", default="town01")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--skip-collect", action="store_true")
+    p.add_argument("--skip-train", action="store_true")
+    p.add_argument("--skip-bench", action="store_true")
+    p.add_argument("--bench-duration", type=float, default=300.0)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.workdir, exist_ok=True)
+    t_start = time.time()
+    timing = {}
+
+    net = build_map(args.map)
+    session_dirs = [
+        os.path.join(args.workdir, f"session_{w}") for w in args.collect_weathers
+    ]
+
+    # ---- 1. collect ----
+    if not args.skip_collect:
+        from cilrs_tpu.data.collect import collect_session
+
+        per = args.frames // len(args.collect_weathers)
+        t0 = time.time()
+        for w, out in zip(args.collect_weathers, session_dirs):
+            print(f"\n=== collect {per} frames, weather={w} ===")
+            stats = collect_session(
+                net, out, num_frames=per, num_envs=args.envs,
+                num_vehicles=args.vehicles, num_pedestrians=args.walkers,
+                weather_idx=weather_index(w), seed=args.seed + weather_index(w),
+            )
+            print(f"  {stats['frames']} frames at {stats['frames_per_sec']:.0f}/s")
+        timing["collect_s"] = time.time() - t0
+
+    # ---- 2. train ----
+    ckpt_dir = os.path.join(args.workdir, "ckpt")
+    if not args.skip_train:
+        import dataclasses
+
+        from cilrs_tpu.data.dataset import load_sessions
+        from cilrs_tpu.train.loop import train
+
+        t0 = time.time()
+        cfg = load_train_config()
+        tcfg = cfg.training
+        if args.epochs is not None:
+            tcfg = dataclasses.replace(tcfg, epochs=args.epochs)
+        if args.batch_size is not None:
+            tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
+        cfg = dataclasses.replace(cfg, training=tcfg)
+        print("\n=== load dataset ===")
+        ds = load_sessions([d for d in session_dirs if os.path.isdir(d)])
+        print(f"  {len(ds)} frames")
+        print("\n=== train ===")
+        out = train(ds, cfg, ckpt_dir=ckpt_dir)
+        timing["train_s"] = time.time() - t0
+        timing["best_val_loss"] = out["best_val_loss"]
+        print(f"best val loss: {out['best_val_loss']:.4f} in {timing['train_s']:.0f}s")
+
+    # ---- 3. benchmark ----
+    if not args.skip_bench:
+        from cilrs_tpu.cli import benchmark as bench_cli
+
+        t0 = time.time()
+        print("\n=== closed-loop 5-weather benchmark ===")
+        results = bench_cli.main([
+            "--checkpoint", ckpt_dir,
+            "--duration", str(args.bench_duration),
+            "--map", args.map, "--seed", str(args.seed),
+            "--out", os.path.join(args.workdir, "RESULTS.md"),
+            "--json-out", os.path.join(args.workdir, "benchmark.json"),
+        ])
+        timing["bench_s"] = time.time() - t0
+
+    timing["total_s"] = time.time() - t_start
+    with open(os.path.join(args.workdir, "pipeline_timing.json"), "w") as f:
+        json.dump(timing, f, indent=2)
+    print(f"\npipeline done in {timing['total_s']:.0f}s: {timing}")
+    return timing
+
+
+if __name__ == "__main__":
+    main()
