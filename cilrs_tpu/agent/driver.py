@@ -24,7 +24,6 @@ Recovery semantics preserved from the reference:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -20,7 +20,7 @@ from cilrs_tpu.config import ObstacleConfig, TrafficLightConfig
 from cilrs_tpu.core.geometry import heading_vec
 from cilrs_tpu.core.state import WorldState
 from cilrs_tpu.maps.network import LIGHT_NONE, RoadNetwork
-from cilrs_tpu.maps.queries import nearest_lane_waypoint, nearest_waypoint, OFF_ROAD_DIST
+from cilrs_tpu.maps.queries import nearest_waypoint, OFF_ROAD_DIST
 
 NO_OBSTACLE = 999.0
 

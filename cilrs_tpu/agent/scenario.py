@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from cilrs_tpu.core.state import WorldState, make_world
+from cilrs_tpu.core.state import make_world
 from cilrs_tpu.maps.network import LANE_WIDTH, SIDEWALK_WIDTH, RoadNetwork
 
 NPC_MIN_DIST_FROM_EGO = 30.0

@@ -4,8 +4,9 @@ One pure function `render_frame(net, world, light_state) -> [H, W, 3] float32`
 replacing the CARLA camera sensor + callback thread
 (reference model/autonomous_drive.py:848-873). Geometry is analytic:
 
- - ground plane z=0 shaded from the pre-rasterized map texture (road /
-   lane-marking / sidewalk masks -> asphalt / paint / pavement / grass);
+ - ground plane z=0 classified analytically against the K lane segments nearest
+   the ego (road / lane-marking / sidewalk -> asphalt / paint / pavement /
+   grass) — no per-pixel texture gathers (see _ground_masks);
  - vehicles as oriented boxes (slab test in the vehicle body frame);
  - pedestrians as vertical cylinders;
  - traffic lights as poles + emissive state-colored heads (the K nearest
@@ -23,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from cilrs_tpu.core.state import WorldState
-from cilrs_tpu.maps.network import LIGHT_GREEN, LIGHT_RED, LIGHT_YELLOW, RoadNetwork
+from cilrs_tpu.maps.network import RoadNetwork
 from cilrs_tpu.render import weather as wx
 from cilrs_tpu.render.camera import CameraSpec, camera_position, ray_directions
 
