@@ -27,7 +27,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from cilrs_tpu.agent.driver import make_driver_state, rollout
+    from cilrs_tpu.agent.driver import fleet_rollout, make_driver_state
     from cilrs_tpu.agent.scenario import spawn_world
     from cilrs_tpu.config import TrainConfig, ModelConfig, load_weather_table
     from cilrs_tpu.core.state import default_vehicle_params
@@ -60,14 +60,11 @@ def main():
 
     @functools.partial(jax.jit, donate_argnums=0)
     def chunk(st, net_, pool_, variables_):
-        def policy_fn(image, speed_norm, command):
-            controls, _ = apply_fn(variables_, image, speed_norm, command, train=False)
-            return controls
-
-        def one(s):
-            return rollout(s, steps=T, net=net_, pool=pool_, wt=wt, params=params,
-                           policy_fn=policy_fn, mode="drive", want_frames=False)
-        final, _ = jax.vmap(one)(st)
+        final, _ = fleet_rollout(
+            st, steps=T, net=net_, pool=pool_, wt=wt, params=params,
+            apply_fn=apply_fn, variables=variables_, mode="drive",
+            want_frames=False,
+        )
         return final
 
     # Warmup / compile.

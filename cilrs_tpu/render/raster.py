@@ -65,7 +65,7 @@ _LIGHT_COLORS = jnp.array([
 ], jnp.float32)
 
 
-NUM_NEAR_SEGMENTS = 160  # lane segments culled around the ego per frame
+NUM_NEAR_SEGMENTS = 96  # lane segments culled around the ego per frame
 ROAD_HALF_W = 2.2  # m from a lane centerline (lanes 3.5 m, centers 3.5 m apart)
 SIDEWALK_OUT = 4.2
 MARKING_LAT = 1.75  # road-center double line sits left of each lane center
@@ -96,22 +96,32 @@ def _ground_masks(net: RoadNetwork, ego_pos: jnp.ndarray, gxy: jnp.ndarray):
 
     ab = b - a
     seg_len = jnp.sqrt(jnp.sum(ab * ab, axis=-1) + 1e-9)  # [K]
-    dirn = ab / seg_len[:, None]
+    dirn = (ab / seg_len[:, None])
 
-    rel = gxy[..., None, :] - a  # [N,K,2]
-    s = rel[..., 0] * dirn[:, 0] + rel[..., 1] * dirn[:, 1]  # [N,K] along-track
-    t = jnp.clip(s, 0.0, seg_len)
-    lat = rel[..., 1] * dirn[:, 0] - rel[..., 0] * dirn[:, 1]  # signed, left +
-    dx = rel[..., 0] - t * dirn[:, 0]
-    dy = rel[..., 1] - t * dirn[:, 1]
-    d = jnp.sqrt(dx * dx + dy * dy + 1e-12)  # [N,K]
+    # bf16 for the [N,K] hot loop (2x VPU throughput): coordinates are
+    # ego-centered first, so magnitudes stay < ~150 m and bf16's relative
+    # precision gives <= ~10 cm error in the near field where edges matter.
+    bf = jnp.bfloat16
+    g16 = (gxy - ego_pos).astype(bf)  # [N,2]
+    a16 = (a - ego_pos).astype(bf)  # [K,2]
+    d16 = dirn.astype(bf)
+    len16 = seg_len.astype(bf)
 
-    dmin = jnp.min(d, axis=-1)  # [N]
+    relx = g16[..., 0:1] - a16[:, 0]  # [N,K]
+    rely = g16[..., 1:2] - a16[:, 1]
+    s = relx * d16[:, 0] + rely * d16[:, 1]  # along-track
+    t = jnp.clip(s, 0.0, len16)
+    lat = rely * d16[:, 0] - relx * d16[:, 1]  # signed, left +
+    dx = relx - t * d16[:, 0]
+    dy = rely - t * d16[:, 1]
+    d2px = dx * dx + dy * dy  # [N,K] squared distance (avoid sqrt per element)
+
+    dmin = jnp.sqrt(jnp.min(d2px, axis=-1).astype(jnp.float32) + 1e-12)  # [N]
     road = (dmin < ROAD_HALF_W).astype(jnp.float32)
     sidewalk = ((dmin >= ROAD_HALF_W) & (dmin < SIDEWALK_OUT)).astype(jnp.float32)
     on_marking = (
-        (jnp.abs(lat - MARKING_LAT) < MARKING_HALF_W)
-        & (s > 0.0) & (s < seg_len)
+        (jnp.abs(lat - bf(MARKING_LAT)) < bf(MARKING_HALF_W))
+        & (s > 0) & (s < len16)
         & dash_on & ~junction
     )
     marking = jnp.any(on_marking, axis=-1).astype(jnp.float32) * road
@@ -209,12 +219,17 @@ def render_frame(
     # a one-hot mask contraction (an [N,V]x[V,3] matmul -> MXU) instead of
     # argmin + take_along_axis, which lowers to pathologically slow per-lane
     # gathers on TPU.
+    # Actor ray tests stay f32: slab/quadratic intersections are numerically
+    # delicate (bf16 flips tmin/tmax ordering on grazing rays, smearing hit
+    # colors across the sky). Camera-centered coordinates keep magnitudes small.
+    o_rel = jnp.array([0.0, 0.0, 1.0], jnp.float32) * o[2]
+
     lo = 0 if include_ego else 1
-    vpos = world.veh_pos[lo:]
+    vpos = world.veh_pos[lo:] - o[:2]
     vyaw = world.veh_yaw[lo:]
     valive = world.veh_alive[lo:]
     V1 = vpos.shape[0]
-    t_veh, shade = _ray_obb(o, rays, vpos, vyaw, 4.7 / 2, 2.0 / 2, VEH_HEIGHT)
+    t_veh, shade = _ray_obb(o_rel, rays, vpos, vyaw, 4.7 / 2, 2.0 / 2, VEH_HEIGHT)
     t_veh = jnp.where(valive[None, :], t_veh, INF)
     t_v = jnp.min(t_veh, axis=1)
     is_min = (t_veh <= t_v[:, None] + 1e-3) & (t_veh < INF)
@@ -225,7 +240,8 @@ def render_frame(
     v_color = (w_v @ palette) * sh_v[:, None]
 
     # --- pedestrians ---
-    t_ped_all = _ray_cylinder(o, rays, world.ped_pos, PED_RADIUS, PED_HEIGHT)
+    ped_rel = world.ped_pos - o[:2]
+    t_ped_all = _ray_cylinder(o_rel, rays, ped_rel, PED_RADIUS, PED_HEIGHT)
     t_ped_all = jnp.where(world.ped_alive[None, :], t_ped_all, INF)
     t_p = jnp.min(t_ped_all, axis=1)
 
@@ -241,12 +257,13 @@ def render_frame(
         # Pole on the right-hand side of the stop line.
         right = jnp.stack([jnp.sin(lyaw), -jnp.cos(lyaw)], axis=-1)
         pole_xy = lxy + right * 2.4
-        t_pole = _ray_cylinder(o, rays, pole_xy, 0.12, LIGHT_POLE_H)
+        pole_rel = pole_xy - o[:2]
+        t_pole = _ray_cylinder(o_rel, rays, pole_rel, 0.12, LIGHT_POLE_H)
         t_pole_min = jnp.min(t_pole, axis=1)
         head = jnp.concatenate(
-            [pole_xy, jnp.full((K, 1), LIGHT_POLE_H, jnp.float32)], axis=-1
+            [pole_rel, jnp.full((K, 1), LIGHT_POLE_H, jnp.float32)], axis=-1
         )
-        t_head = _ray_sphere(o, rays, head, LIGHT_HEAD_R)
+        t_head = _ray_sphere(o_rel, rays, head, LIGHT_HEAD_R)
         t_h = jnp.min(t_head, axis=1)
         is_min_h = (t_head <= t_h[:, None] + 1e-3) & (t_head < INF)
         norm_h = jnp.maximum(jnp.sum(is_min_h, axis=1, keepdims=True), 1)
