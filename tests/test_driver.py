@@ -153,3 +153,31 @@ def test_vmapped_fleet_rollout(setup):
     d = np.asarray(finals.metrics.total_distance)
     assert d.shape == (B,)
     assert (d > 5.0).all(), f"some envs stalled: {d}"
+
+
+def test_fleet_rollout_batched_policy(setup):
+    """fleet_rollout (batched policy) matches env behavior and makes progress."""
+    import jax.numpy as jnp
+    from cilrs_tpu.agent.driver import fleet_rollout
+
+    def stub_apply(variables, x, speed, cmd, train=False):
+        B = x.shape[0]
+        return jnp.tile(jnp.array([[0.0, 0.5, 0.0]]), (B, 1)), jnp.zeros(B)
+
+    B = 2
+    base = make_driver_state(setup["world"])
+    fleet = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(), base)
+    fleet = fleet.replace(world=fleet.world.replace(
+        rng=jax.vmap(jax.random.PRNGKey)(jnp.arange(B, dtype=jnp.uint32))))
+
+    roll = jax.jit(functools.partial(
+        fleet_rollout, steps=150, net=setup["net"], pool=setup["pool"],
+        wt=setup["wt"], params=setup["params"], apply_fn=stub_apply,
+        variables={}, mode="drive", cam=TINY_CAM, want_frames=False,
+    ))
+    final, outs = roll(fleet)
+    d = np.asarray(final.metrics.total_distance)
+    assert d.shape == (B,)
+    assert (d > 8.0).all(), f"fleet stalled: {d}"
+    assert "frame" not in outs
+    assert np.isfinite(np.asarray(outs["control"])).all()
