@@ -2,16 +2,22 @@
 
 The renderer's hottest loop classifies every ground-hit pixel against the K
 lane segments culled around the ego (road / dashed-marking / sidewalk masks).
-The XLA lowering materializes several [N, K] intermediates between fusions;
-this kernel keeps the whole [TILE_N, K] working set in VMEM and emits the three
+This kernel keeps the whole [K, TILE_N] working set in VMEM and emits the three
 masks in one pass.
 
-Layout: pixels tile the sublane axis (TILE_N rows), segments live on the lane
-axis (K padded to 128). Per-segment data is tiny and broadcast from VMEM.
+Layout (TPU-native): pixels on the LANE axis (TILE_N = 512, a multiple of 128),
+segments on the SUBLANE axis (K_PAD = 128). Per-segment scalars are broadcast
+as [K, 1] columns; all intermediates are 2-D [K_PAD, TILE_N] bf16 tiles.
 
-`ground_masks_pallas` is numerically equivalent (same bf16 policy) to
-`raster._ground_masks`'s math and is exercised against it in
-tests/test_pallas.py via interpret mode on CPU.
+`ground_masks_pallas` matches `raster._ground_masks` (same bf16 policy) and is
+equivalence-tested in tests/test_pallas.py via interpret mode on CPU.
+
+Status: compiles and runs on v5e (CILRS_PALLAS=1), but the XLA fusion of the
+same math is currently FASTER end-to-end (14.9k vs 10.8k env-steps/s at E=256):
+the kernel pays a host-side pad+transpose of the pixel array plus K_PAD=128
+compute vs the culled K=96, while XLA fuses the masks straight into the
+renderer's select chain. Kept as the starting point for a future fully-fused
+renderer kernel; the XLA path stays the default.
 """
 
 from __future__ import annotations
@@ -25,8 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cilrs_tpu.maps.network import RoadNetwork
 
-K_PAD = 128  # segment lane padding (VPU lane width)
-TILE_N = 512  # pixels per grid step (sublane axis)
+K_PAD = 128  # segment sublane padding
+TILE_N = 512  # pixels per grid step (lane axis)
 
 ROAD_HALF_W = 2.2
 SIDEWALK_OUT = 4.2
@@ -34,78 +40,82 @@ MARKING_LAT = 1.75
 MARKING_HALF_W = 0.22
 
 
-def _kernel(gx_ref, gy_ref, seg_ref, out_ref):
+def _kernel(g_ref, seg_ref, out_ref):
     """One pixel tile vs all segments.
 
-    gx/gy: [TILE_N, 1] f32 ego-centered ground hits.
-    seg:   [8, K_PAD] f32 rows: ax, ay, dirx, diry, len, markable, valid, pad.
-    out:   [TILE_N, 3] f32 road/marking/sidewalk masks.
+    g:   [2, TILE_N] f32 — rows: gx, gy (ego-centered ground hits).
+    seg: [K_PAD, 8] f32 — columns: ax, ay, dirx, diry, len, markable, valid, pad
+         (column-major so per-segment vectors are SLICES, not gathers — Mosaic
+         cannot lower integer-index gathers).
+    out: [3, TILE_N] f32 — rows: road, marking, sidewalk.
     """
     bf = jnp.bfloat16
-    gx = gx_ref[:].astype(bf)  # [T,1]
-    gy = gy_ref[:].astype(bf)
-    ax = seg_ref[0, :].astype(bf)  # [K]
-    ay = seg_ref[1, :].astype(bf)
-    dx = seg_ref[2, :].astype(bf)
-    dy = seg_ref[3, :].astype(bf)
-    ln = seg_ref[4, :].astype(bf)
-    markable = seg_ref[5, :].astype(bf)  # 1.0 = dash-on, non-junction
-    valid = seg_ref[6, :].astype(bf)  # 0.0 on lane padding
+    f32 = jnp.float32
+    gx = g_ref[0:1, :].astype(bf)  # [1, T]
+    gy = g_ref[1:2, :].astype(bf)
+    seg = seg_ref[:].astype(bf)  # [K, 8]
+    ax = seg[:, 0:1]  # [K, 1]
+    ay = seg[:, 1:2]
+    dx = seg[:, 2:3]
+    dy = seg[:, 3:4]
+    ln = seg[:, 4:5]
+    # Comparison operands stay f32: this target's Mosaic rejects bf16 compares.
+    markable32 = seg_ref[:, 5:6]
+    valid32 = seg_ref[:, 6:7]
 
-    relx = gx - ax  # [T,K]
+    relx = gx - ax  # [K, T] — arithmetic in bf16 (2x VPU throughput)
     rely = gy - ay
     s = relx * dx + rely * dy
     t = jnp.clip(s, 0.0, ln)
     lat = rely * dx - relx * dy
     ox = relx - t * dx
     oy = rely - t * dy
-    d2 = ox * ox + oy * oy
-    d2 = jnp.where(valid > 0, d2, bf(1e9))
+    d2 = (ox * ox + oy * oy).astype(f32)
+    d2 = jnp.where(valid32 > 0, d2, f32(1e9))
 
-    dmin = jnp.sqrt(jnp.min(d2, axis=1, keepdims=True).astype(jnp.float32))  # [T,1]
-    road = (dmin < ROAD_HALF_W).astype(jnp.float32)
-    sidewalk = ((dmin >= ROAD_HALF_W) & (dmin < SIDEWALK_OUT)).astype(jnp.float32)
+    dmin = jnp.sqrt(jnp.min(d2, axis=0, keepdims=True))  # [1, T]
+    road = (dmin < ROAD_HALF_W).astype(f32)
+    sidewalk = ((dmin >= ROAD_HALF_W) & (dmin < SIDEWALK_OUT)).astype(f32)
+    s32 = s.astype(f32)
     on_mark = (
-        (jnp.abs(lat - bf(MARKING_LAT)) < bf(MARKING_HALF_W))
-        & (s > 0) & (s < ln) & (markable > 0)
+        (jnp.abs(lat.astype(f32) - MARKING_LAT) < MARKING_HALF_W)
+        & (s32 > 0) & (s32 < ln.astype(f32)) & (markable32 > 0)
     )
-    marking = jnp.max(on_mark.astype(jnp.float32), axis=1, keepdims=True) * road
+    marking = jnp.max(on_mark.astype(f32), axis=0, keepdims=True) * road
 
-    out_ref[:, 0:1] = road
-    out_ref[:, 1:2] = marking
-    out_ref[:, 2:3] = sidewalk
+    out_ref[0:1, :] = road
+    out_ref[1:2, :] = marking
+    out_ref[2:3, :] = sidewalk
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ground_masks_pallas(
-    seg: jnp.ndarray,  # [8, K_PAD] packed segment table (see pack_segments)
+    seg: jnp.ndarray,  # [K_PAD, 8] packed segment table (see pack_segments)
     gxy_centered: jnp.ndarray,  # [N, 2] f32, ego-centered ground hits
     interpret: bool = False,
 ):
     """Returns (road, marking, sidewalk) float32 masks of shape [N]."""
     N = gxy_centered.shape[0]
     n_pad = (-N) % TILE_N
-    gx = jnp.pad(gxy_centered[:, 0], (0, n_pad)).reshape(-1, 1)
-    gy = jnp.pad(gxy_centered[:, 1], (0, n_pad)).reshape(-1, 1)
-    grid = (gx.shape[0] // TILE_N,)
+    g = jnp.pad(gxy_centered, ((0, n_pad), (0, 0))).T  # [2, N_pad]
+    grid = (g.shape[1] // TILE_N,)
 
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, K_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K_PAD, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_N, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gx.shape[0], 3), jnp.float32),
+        out_specs=pl.BlockSpec((3, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, g.shape[1]), jnp.float32),
         interpret=interpret,
-    )(gx, gy, seg)
-    return out[:N, 0], out[:N, 1], out[:N, 2]
+    )(g, seg)
+    return out[0, :N], out[1, :N], out[2, :N]
 
 
 def pack_segments(net: RoadNetwork, ego_pos: jnp.ndarray, k_cull: int = 96) -> jnp.ndarray:
-    """Cull the k segments nearest the ego and pack the [8, K_PAD] table
+    """Cull the k segments nearest the ego and pack the [K_PAD, 8] table
     (ego-centered endpoints, unit direction, length, markable flag, valid)."""
     d2 = jnp.sum((net.wp_xy - ego_pos) ** 2, axis=-1)
     _, idx = jax.lax.top_k(-d2, k_cull)
@@ -123,4 +133,4 @@ def pack_segments(net: RoadNetwork, ego_pos: jnp.ndarray, k_cull: int = 96) -> j
         row(seg_len), row(markable),
         jnp.pad(jnp.ones(k_cull, jnp.float32), (0, pad)),  # valid
         jnp.zeros(K_PAD, jnp.float32),
-    ])
+    ], axis=1)
