@@ -27,6 +27,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cilrs_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from cilrs_tpu.agent.driver import fleet_rollout, make_driver_state
     from cilrs_tpu.agent.scenario import spawn_world
     from cilrs_tpu.config import TrainConfig, ModelConfig, load_weather_table

@@ -47,16 +47,21 @@ def autopilot_controls(
     bend = jnp.abs(wrap_angle(ahead_yaw - route.yaw[jnp.minimum(route_idx, last)]))
     target_speed_kmh = jnp.where(bend > 0.3, 18.0, target_speed_kmh)
 
-    # Speed control (proportional, like TM's smooth following).
+    # Speed control: one CONTINUOUS proportional law through the cruise point
+    # (like TM's smooth PID). A piecewise law with a jump at v_err=0 makes the
+    # labels oscillate between two throttle values for near-identical
+    # observations — behavior cloning then regresses to their mean and the
+    # throttle correlation collapses.
     v_err = (target_speed_kmh - speed_kmh) / jnp.maximum(target_speed_kmh, 1.0)
-    throttle = jnp.clip(0.55 + v_err * 0.8, 0.0, 0.75)
-    throttle = jnp.where(v_err < 0.0, jnp.clip(0.3 + v_err * 0.6, 0.0, 0.75), throttle)
-    brake = jnp.clip(-v_err * 1.2 - 0.15, 0.0, 0.6)
+    throttle = jnp.clip(0.45 + v_err * 0.9, 0.0, 0.75)
+    brake = jnp.clip(-(v_err + 0.12) * 1.5, 0.0, 0.6)
 
-    # Slow for curves: big heading error means corner -> ease off.
-    curve = jnp.abs(err) > 0.25
-    throttle = jnp.where(curve & (speed_kmh > 18.0), 0.0, throttle)
-    brake = jnp.where(jnp.abs(err) > 0.5, jnp.maximum(brake, 0.3), brake)
+    # Slow for curves: ease off smoothly as heading error grows (the corner is
+    # visible in the frame, so a smooth ramp stays learnable).
+    corneriness = jnp.clip((jnp.abs(err) - 0.2) * 5.0, 0.0, 1.0)
+    fast = jnp.clip((speed_kmh - 14.0) / 8.0, 0.0, 1.0)
+    throttle = throttle * (1.0 - corneriness * fast)
+    brake = jnp.maximum(brake, jnp.clip((jnp.abs(err) - 0.5) * 2.0, 0.0, 1.0) * 0.3)
 
     # Obstacle gating: comfortable stop behind leaders.
     speed_factor = jnp.maximum(1.0, speed_kmh / 15.0)

@@ -25,6 +25,8 @@ WEATHER_LABELS = {
 
 
 def main(argv=None):
+    from cilrs_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="CILRS-TPU 5-weather benchmark")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--duration", type=float, default=300.0)

@@ -1,6 +1,8 @@
-"""Shared CLI helpers: map construction, model loading."""
+"""Shared CLI helpers: compilation cache, map construction, model loading."""
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -8,6 +10,20 @@ import jax.numpy as jnp
 from cilrs_tpu.config import TrainConfig
 from cilrs_tpu.maps.network import RoadNetwork
 from cilrs_tpu.maps.town import make_mini_town, make_town01
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Persistent XLA compilation cache: the render+policy+dynamics megakernel
+    costs ~160 s to compile cold (BENCH_r01); warm runs skip it entirely.
+    Called by every CLI entry point and bench.py before any jit."""
+    cache_dir = cache_dir or os.environ.get(
+        "CILRS_TPU_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def build_map(spec: str) -> RoadNetwork:

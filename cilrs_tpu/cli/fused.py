@@ -13,6 +13,8 @@ from cilrs_tpu.config import load_train_config
 
 
 def main(argv=None):
+    from cilrs_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="CILRS-TPU fused collect+train")
     p.add_argument("--map", default="town01")
     p.add_argument("--steps", type=int, default=2000, help="total train steps")

@@ -20,6 +20,8 @@ from cilrs_tpu.config import WEATHER_NAMES, load_train_config, weather_index
 
 
 def main(argv=None):
+    from cilrs_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="CILRS-TPU collect->train->eval pipeline")
     p.add_argument("--workdir", required=True)
     p.add_argument("--frames", type=int, default=150_000, help="total across weathers")

@@ -20,6 +20,8 @@ from cilrs_tpu.train.steps import make_eval_step
 
 
 def main(argv=None):
+    from cilrs_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="CILRS-TPU offline evaluation report")
     p.add_argument("--data", nargs="+", required=True)
     p.add_argument("--checkpoint", required=True)

@@ -15,6 +15,8 @@ from cilrs_tpu.train.loop import train
 
 
 def main(argv=None):
+    from cilrs_tpu.cli.common import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="CILRS-TPU training")
     p.add_argument("--data", nargs="+", required=True, help="session directories")
     p.add_argument("--ckpt-dir", default="runs/cilrs")

@@ -256,10 +256,21 @@ def chained_route_pool(
         cur = cand
     if not paths:
         raise ValueError("could not trace any route on this network")
-    while len(paths) < num_routes:
-        k = len(paths) % max(len(paths), 1)
-        paths.append(paths[k])
-        starts.append(starts[k])
+    if len(paths) < num_routes:
+        # Close the cycle (cur -> start_wp) so cycling the pool keeps route
+        # N+1 starting where route N ended; a failed back-trace leaves one
+        # teleport-sized jump per cycle, as documented above.
+        if cur != start_wp:
+            back = g.dijkstra(cur, start_wp)
+            if len(back) >= 2:
+                paths.append(back[:ROUTE_MAX])
+                starts.append(cur)
+                cur = start_wp
+        m = len(paths)
+        while len(paths) < num_routes:
+            k = len(paths) % m
+            paths.append(paths[k])
+            starts.append(starts[k])
     paths, starts = paths[:num_routes], starts[:num_routes]
     routes = [_route_from_path(g, p) for p in paths]
     pool = stack_routes(routes)

@@ -92,7 +92,7 @@ def augment_batch(
     p_cutout: float = 0.3,
 ) -> jnp.ndarray:
     B, H, W, _ = images.shape
-    keys = jax.random.split(key, 10)
+    keys = jax.random.split(key, 12)
     x = images
 
     # Brightness / contrast
@@ -106,7 +106,7 @@ def augment_batch(
     # HSV jitter
     apply_hsv = jax.random.uniform(keys[3], (B, 1, 1, 1)) < p_hsv
     dh = jax.random.uniform(keys[4], (B, 1, 1), minval=-0.05, maxval=0.05)
-    ds = jax.random.uniform(keys[4], (B, 1, 1), minval=0.85, maxval=1.15)
+    ds = jax.random.uniform(keys[10], (B, 1, 1), minval=0.85, maxval=1.15)
     hsv = _vec_rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
     hsv = jnp.stack([(hsv[..., 0] + dh) % 1.0, jnp.clip(hsv[..., 1] * ds, 0, 1), hsv[..., 2]], axis=-1)
     x = jnp.where(apply_hsv, _vec_hsv_to_rgb(hsv), x)
@@ -123,7 +123,7 @@ def augment_batch(
     # Coarse dropout: one random rectangle per image (up to ~1/5 of each side)
     apply_cut = jax.random.uniform(keys[8], (B, 1, 1, 1)) < p_cutout
     cy = jax.random.uniform(keys[9], (B, 1, 1), minval=0.0, maxval=1.0) * H
-    cx = jax.random.uniform(keys[9], (B, 1, 1), minval=0.0, maxval=1.0) * W
+    cx = jax.random.uniform(keys[11], (B, 1, 1), minval=0.0, maxval=1.0) * W
     hh = H * 0.1
     ww = W * 0.1
     yy = jnp.arange(H)[None, :, None]

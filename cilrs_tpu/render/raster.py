@@ -194,6 +194,44 @@ def _ray_sphere(o, d, center, radius):
     return jnp.where(hit, t, INF)
 
 
+_MB_SCALES = (0.96, 0.92, 0.88)  # zoom-blur sample scales toward the FOE
+_MB_SPEED_NORM = 50.0  # km/h at which blur weight saturates
+
+
+def _zoom_sample(img: jnp.ndarray, f: float) -> jnp.ndarray:
+    """Bilinear resample of img scaled by factor f about the image center.
+
+    Scales are Python constants, so the coordinates are separable static index
+    arrays — two constant gathers per axis, no dynamic per-pixel gather."""
+    import numpy as np
+
+    H, W, _ = img.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    sy = cy + (np.arange(H) - cy) * f
+    sx = cx + (np.arange(W) - cx) * f
+    y0 = np.clip(np.floor(sy).astype(np.int32), 0, H - 1)
+    y1 = np.minimum(y0 + 1, H - 1)
+    fy = jnp.asarray((sy - y0)[:, None, None], jnp.float32)
+    rows = img[y0] * (1.0 - fy) + img[y1] * fy
+    x0 = np.clip(np.floor(sx).astype(np.int32), 0, W - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    fx = jnp.asarray((sx - x0)[None, :, None], jnp.float32)
+    return rows[:, x0] * (1.0 - fx) + rows[:, x1] * fx
+
+
+def motion_blur(img: jnp.ndarray, speed_kmh: jnp.ndarray) -> jnp.ndarray:
+    """Speed-dependent zoom blur about the focus of expansion (image center —
+    the front camera has zero pitch). CARLA's RGB camera applies motion blur
+    by default (intensity 0.45), so the reference's training images carry a
+    visual speed cue; without one the auxiliary speed head (CILRS's
+    speed-prediction regularizer) has nothing to learn from."""
+    samples = jnp.stack([img] + [_zoom_sample(img, f) for f in _MB_SCALES])
+    b = jnp.clip(speed_kmh / _MB_SPEED_NORM, 0.0, 1.0) * 0.85
+    w = b ** jnp.arange(float(len(_MB_SCALES) + 1))
+    w = w / jnp.sum(w)
+    return jnp.einsum("k,khwc->hwc", w, samples)
+
+
 def render_frame(
     net: RoadNetwork,
     world: WorldState,
@@ -320,5 +358,6 @@ def render_frame(
     dist_img = jnp.minimum(t_hit, spec.far).reshape(H, W)
     img = wx.headlight(world.weather_idx, uu, vv, dist_img, img)
     img = wx.rain_streaks(world.weather_idx, uu, vv, world.time_s, img)
+    img = motion_blur(img, jnp.abs(world.ego_speed) * 3.6)
 
     return jnp.clip(img, 0.0, 1.0)

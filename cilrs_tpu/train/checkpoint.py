@@ -22,10 +22,23 @@ BEST_NAME = "best"
 LATEST_NAME = "latest"
 
 
+BEST_SUBDIR = "best_ckpt"
+
+
 def _mgr(ckpt_dir: str) -> ocp.CheckpointManager:
     return ocp.CheckpointManager(
         os.path.abspath(ckpt_dir),
         options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
+    )
+
+
+def _best_mgr(ckpt_dir: str) -> ocp.CheckpointManager:
+    """Dedicated single-slot manager for the best checkpoint: the rolling
+    max_to_keep=3 window in the main manager would otherwise garbage-collect
+    the best epoch long before an early stop (patience 6) fires."""
+    return ocp.CheckpointManager(
+        os.path.join(os.path.abspath(ckpt_dir), BEST_SUBDIR),
+        options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
     )
 
 
@@ -54,6 +67,15 @@ def save_checkpoint(
         )
         mgr.wait_until_finished()
     if is_best:
+        with _best_mgr(ckpt_dir) as bmgr:
+            bmgr.save(
+                epoch,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardSave(payload),
+                    meta=ocp.args.JsonSave(meta),
+                ),
+            )
+            bmgr.wait_until_finished()
         best_path = os.path.join(os.path.abspath(ckpt_dir), "best_epoch.txt")
         with open(best_path, "w") as f:
             f.write(f"{epoch} {val_loss}\n")
@@ -92,28 +114,41 @@ def restore_latest(ckpt_dir: str, state: CILRSTrainState):
 
 
 def restore_best_params(ckpt_dir: str, state: CILRSTrainState):
-    """Load the best epoch's params for inference (checkpoint_best.pth parity)."""
+    """Load the best epoch's params for inference (checkpoint_best.pth parity).
+
+    Prefers the dedicated best_ckpt/ slot; falls back to best_epoch.txt /
+    latest step in the rolling manager for checkpoints written before the
+    best-slot existed."""
     ckpt_dir = os.path.abspath(ckpt_dir)
-    best_path = os.path.join(ckpt_dir, "best_epoch.txt")
-    if os.path.exists(best_path):
-        epoch = int(open(best_path).read().split()[0])
-    else:
-        with _mgr(ckpt_dir) as mgr:
-            epoch = mgr.latest_step()
-        if epoch is None:
-            raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
     template = {
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
+    comp = ocp.args.Composite(state=ocp.args.StandardRestore(template))
+
+    if os.path.isdir(os.path.join(ckpt_dir, BEST_SUBDIR)):
+        with _best_mgr(ckpt_dir) as bmgr:
+            epoch = bmgr.latest_step()
+            if epoch is not None:
+                payload = bmgr.restore(epoch, args=comp)["state"]
+                return state.replace(
+                    params=payload["params"], batch_stats=payload["batch_stats"]
+                )
+
+    best_path = os.path.join(ckpt_dir, "best_epoch.txt")
     with _mgr(ckpt_dir) as mgr:
-        restored = mgr.restore(
-            epoch,
-            args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
-        )
-    payload = restored["state"]
+        steps = mgr.all_steps()
+        if os.path.exists(best_path):
+            epoch = int(open(best_path).read().split()[0])
+            if epoch not in steps:  # best GC'd by the rolling window
+                epoch = max(steps) if steps else None
+        else:
+            epoch = mgr.latest_step()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+        payload = mgr.restore(epoch, args=comp)["state"]
     return state.replace(
         params=payload["params"], batch_stats=payload["batch_stats"]
     )

@@ -48,6 +48,7 @@ class ReplayBuffer:
     valid: jnp.ndarray  # [N] bool
     cursor: jnp.ndarray  # scalar i32
     total_written: jnp.ndarray  # scalar i32
+    filled: jnp.ndarray  # scalar i32 — slots ever written, capped at N
     cmd_counts: jnp.ndarray  # [4] f32 — running command histogram
 
 
@@ -60,6 +61,7 @@ def make_buffer(capacity: int, h: int, w: int) -> ReplayBuffer:
         valid=jnp.zeros((capacity,), bool),
         cursor=jnp.asarray(0, jnp.int32),
         total_written=jnp.asarray(0, jnp.int32),
+        filled=jnp.asarray(0, jnp.int32),
         cmd_counts=jnp.ones((4,), jnp.float32),
     )
 
@@ -83,17 +85,38 @@ def write_chunk(buf: ReplayBuffer, frames, speed_kmh, command, controls, moving)
         valid=buf.valid.at[idx].set(moving),
         cursor=(buf.cursor + M) % N,
         total_written=buf.total_written + jnp.sum(moving.astype(jnp.int32)),
+        filled=jnp.minimum(buf.filled + M, N),
         cmd_counts=buf.cmd_counts + jnp.sum(onehot, axis=0),
     )
 
 
-def sample_batch(buf: ReplayBuffer, key: jnp.ndarray, batch: int):
-    """Uniform over valid entries + inverse-command-frequency loss weights."""
+def freeze_val_slice(buf: ReplayBuffer, size: int):
+    """Snapshot the freshest `size` frames as a held-out validation set and
+    mark those buffer entries invalid so train sampling never sees them again
+    (the ring overwrites them with new data in due course). Returns
+    (buf', val_set)."""
     N = buf.images.shape[0]
-    idx = jax.random.randint(key, (batch,), 0, N)
-    # Re-draw invalid picks once (cheap best effort; buffer is mostly valid).
-    idx2 = jax.random.randint(jax.random.fold_in(key, 1), (batch,), 0, N)
-    idx = jnp.where(buf.valid[idx], idx, idx2)
+    idx = (buf.cursor - size + jnp.arange(size)) % N
+    val_set = {
+        "images": buf.images[idx],
+        "speed": buf.speed[idx],
+        "command": buf.command[idx],
+        "controls": buf.controls[idx],
+        "valid": buf.valid[idx],
+    }
+    return buf.replace(valid=buf.valid.at[idx].set(False)), val_set
+
+
+def sample_batch(buf: ReplayBuffer, key: jnp.ndarray, batch: int):
+    """Uniform over valid written entries + inverse-command-frequency loss
+    weights. Draws are bounded to the written region of the ring (never the
+    zero-initialized tail), invalid picks (stationary / held-out frames) are
+    re-drawn a few times, and any survivors are zero-weighted."""
+    hi = jnp.maximum(buf.filled, 1)
+    idx = jax.random.randint(key, (batch,), 0, hi)
+    for r in range(1, 4):  # geometric best-effort; invalid fraction is small
+        alt = jax.random.randint(jax.random.fold_in(key, r), (batch,), 0, hi)
+        idx = jnp.where(buf.valid[idx], idx, alt)
     ok = buf.valid[idx]
     freq = buf.cmd_counts / jnp.sum(buf.cmd_counts)
     w = (1.0 / jnp.maximum(freq[buf.command[idx]], 1e-6))
@@ -107,7 +130,10 @@ def sample_batch(buf: ReplayBuffer, key: jnp.ndarray, batch: int):
     }
 
 
-def weighted_train_step(cfg: TrainConfig):
+def weighted_train_step(cfg: TrainConfig, axis_name: str | None = None):
+    """Per-sample-weighted train step. With `axis_name` (inside shard_map /
+    pmap) gradients and batch stats are pmean'd across the mesh — the classic
+    DP all-reduce riding ICI."""
     loss_cfg = cfg.loss
 
     def step(state: CILRSTrainState, batch, rng):
@@ -253,18 +279,14 @@ def fused_collect_train(
         fleet, buf = collect_chunk(fleet, buf, net, pool_stack)
     frames0 = int(buf.total_written)
     if verbose:
-        print(f"  warmup: {frames0} frames in {time.time()-t0:.1f}s ", flush=True) if False else print(f"  warmup: {frames0} frames in {time.time()-t0:.1f}s "
-              f"({frames0/max(time.time()-t0,1e-9):,.0f} frames/s)")
+        print(f"  warmup: {frames0} frames in {time.time()-t0:.1f}s "
+              f"({frames0/max(time.time()-t0,1e-9):,.0f} frames/s)", flush=True)
 
-    # Frozen validation slice: a snapshot of the freshest V frames after
-    # warmup. The ring will eventually overwrite those entries with new data,
-    # so the slice becomes progressively held-out as training streams on.
+    # Held-out validation slice: the freshest V warmup frames, snapshotted and
+    # excluded from train sampling (freeze_val_slice marks them invalid; the
+    # ring later refills those slots with new frames).
     V = (min(4096, buffer_frames // 4) // B) * B
-    val_set = jax.tree.map(
-        lambda x: x[:V].copy(),
-        {"images": buf.images, "speed": buf.speed, "command": buf.command,
-         "controls": buf.controls, "valid": buf.valid},
-    )
+    buf, val_set = jax.jit(functools.partial(freeze_val_slice, size=V))(buf)
 
     steps_done = 0
     t1 = time.time()

@@ -85,3 +85,57 @@ def test_render_npc_visible(mini_town):
     without = np.asarray(render_frame(mini_town, world_empty, ls))
     diff = np.abs(with_npc - without).mean()
     assert diff > 1e-4, "NPC vehicle not visible in render"
+
+
+def test_motion_blur_speed_cue(mini_town):
+    """Frames must carry a monotonic visual speed cue (CARLA camera motion
+    blur parity) so the aux speed head has something to learn from."""
+    from cilrs_tpu.render.raster import motion_blur
+
+    world, _, _ = _world_on_road(mini_town, weather_idx=0)
+    ls = light_states(mini_town, world.time_s)
+
+    def sharpness(speed):
+        w = world.replace(veh_speed=world.veh_speed.at[0].set(speed / 3.6))
+        img = np.asarray(render_frame(mini_town, w, ls))
+        gx = np.abs(np.diff(img, axis=1)).mean()
+        gy = np.abs(np.diff(img, axis=0)).mean()
+        return gx + gy
+
+    s0, s15, s35 = sharpness(0.0), sharpness(15.0), sharpness(35.0)
+    assert s0 > s15 > s35, f"blur not monotonic in speed: {s0} {s15} {s35}"
+
+    # Stationary frames are untouched (blur weight collapses to the sharp tap).
+    img = jnp.ones((8, 16, 3)) * jnp.linspace(0, 1, 16)[None, :, None]
+    out = motion_blur(img, jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_autopilot_longitudinal_continuity():
+    """The teacher's throttle/brake must be continuous through the cruise point
+    (v_err = 0): a jump there makes BC labels oscillate between two values for
+    near-identical observations, collapsing the throttle correlation."""
+    from cilrs_tpu.agent.autopilot import autopilot_controls
+    from cilrs_tpu.maps.routing import Route
+
+    n = 64
+    xy = np.stack([np.arange(n, dtype=np.float32) * 2.0, np.zeros(n, np.float32)], -1)
+    route = Route(
+        xy=jnp.asarray(xy), yaw=jnp.zeros(n), option=jnp.zeros(n, jnp.int32),
+        wp_index=jnp.arange(n, dtype=jnp.int32), valid=jnp.ones(n, bool),
+        length=jnp.asarray(n, jnp.int32),
+    )
+    pos = jnp.asarray([0.0, 0.0])
+    speeds = np.linspace(25.0, 35.0, 101)  # sweep through the 30 km/h target
+    thr, brk = [], []
+    for s in speeds:
+        _, t, b = autopilot_controls(
+            route, jnp.asarray(0, jnp.int32), pos, jnp.asarray(0.0),
+            jnp.asarray(s, jnp.float32), jnp.asarray(100.0), jnp.asarray(0, jnp.int32),
+        )
+        thr.append(float(t))
+        brk.append(float(b))
+    dthr = np.abs(np.diff(thr)).max()
+    dbrk = np.abs(np.diff(brk)).max()
+    assert dthr < 0.05, f"throttle jump {dthr:.3f} across a 0.1 km/h speed step"
+    assert dbrk < 0.05, f"brake jump {dbrk:.3f} across a 0.1 km/h speed step"
