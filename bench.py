@@ -62,14 +62,32 @@ def main():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     apply_fn = state.apply_fn
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def chunk(st, net_, pool_, variables_):
-        final, _ = fleet_rollout(
-            st, steps=T, net=net_, pool=pool_, wt=wt, params=params,
-            apply_fn=apply_fn, variables=variables_, mode="drive",
-            want_frames=False,
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # Auto-scale: shard the env fleet over every device (DP over ICI).
+        from cilrs_tpu.parallel.distributed import initialize_distributed
+        from cilrs_tpu.parallel.fleet import make_sharded_rollout
+        from cilrs_tpu.parallel.mesh import make_mesh
+
+        initialize_distributed()
+        mesh = make_mesh()
+        run = make_sharded_rollout(
+            mesh, steps=T, wt=wt, params=params, apply_fn=apply_fn,
+            mode="drive", want_frames=False,
         )
-        return final
+
+        def chunk(st, net_, pool_, variables_):
+            final, _ = run(st, net_, pool_, variables_)
+            return final
+    else:
+        @functools.partial(jax.jit, donate_argnums=0)
+        def chunk(st, net_, pool_, variables_):
+            final, _ = fleet_rollout(
+                st, steps=T, net=net_, pool=pool_, wt=wt, params=params,
+                apply_fn=apply_fn, variables=variables_, mode="drive",
+                want_frames=False,
+            )
+            return final
 
     # Warmup / compile.
     t_c = time.time()
@@ -84,12 +102,12 @@ def main():
     dt = time.time() - t0
 
     steps = E * T * REPS
-    rate = steps / dt
+    rate = steps / dt / n_dev  # per-chip rate (fleet shards evenly over devices)
     target_per_chip = 100_000 / 8.0
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip",
         "value": round(rate, 1),
-        "unit": "env-steps/s (render+policy+dynamics, 1 chip)",
+        "unit": f"env-steps/s (render+policy+dynamics, per chip of {n_dev})",
         "vs_baseline": round(rate / target_per_chip, 3),
     }))
 

@@ -296,7 +296,9 @@ def env_act(
     if loop_routes:
         route_id2 = jnp.where(completed, (state.route_id + 1) % pool.num_routes, state.route_id)
         route_idx2 = jnp.where(completed, 0, route_idx)
-        route_done2 = jnp.asarray(False)
+        # Derived from carry state (not a fresh constant) so scan carries keep
+        # consistent varying-axis types under shard_map.
+        route_done2 = state.route_done & False
         new_attempt = completed
     else:
         route_id2 = state.route_id

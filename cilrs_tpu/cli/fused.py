@@ -27,9 +27,23 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--history-json", default=None)
+    p.add_argument("--single-device", action="store_true",
+                   help="disable the sharded multi-device path")
     args = p.parse_args(argv)
 
+    import jax
+
     from cilrs_tpu.train.fused import fused_collect_train
+
+    mesh = None
+    if not args.single_device and len(jax.devices()) > 1:
+        from cilrs_tpu.parallel.distributed import initialize_distributed
+        from cilrs_tpu.parallel.mesh import make_mesh
+
+        initialize_distributed()
+        mesh = make_mesh()
+        print(f"  mesh: {mesh.devices.size} devices (fleet + ring buffer "
+              f"sharded, DP gradients)")
 
     net = build_map(args.map)
     cfg = load_train_config()
@@ -39,6 +53,7 @@ def main(argv=None):
         collect_ticks=args.collect_ticks,
         train_steps_per_chunk=args.train_per_chunk,
         total_train_steps=args.steps, seed=args.seed,
+        mesh=mesh,
     )
     print(f"\nfused run: {out['frames_collected']:,} frames collected, "
           f"{out['train_steps']} train steps in {out['wall_s']:.0f}s "

@@ -16,6 +16,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def shard_map_compat(f, mesh: Mesh, in_specs, out_specs):
+    """jax.shard_map across JAX versions (jax.experimental.shard_map before
+    0.8), with replication/varying-axis checking off: the fused loop's psum'd
+    ring counters are replicated by construction, which the static analysis
+    cannot always prove."""
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
 def make_mesh(num_devices: int | None = None) -> Mesh:
     devices = jax.devices()
     if num_devices is not None:

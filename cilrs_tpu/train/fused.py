@@ -162,11 +162,31 @@ def weighted_train_step(cfg: TrainConfig, axis_name: str | None = None):
 
         (loss, (plain, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            plain = jax.lax.pmean(plain, axis_name)
         return state.apply_gradients(grads, new_stats), {
             "loss": loss, "plain_loss": plain,
         }
 
     return step
+
+
+def buffer_pspecs():
+    """shard_map partition specs for a ReplayBuffer: rows over the data axis,
+    ring bookkeeping replicated (every device writes the same number of local
+    rows per chunk, so the local cursor stays in lockstep)."""
+    from jax.sharding import PartitionSpec as P
+
+    from cilrs_tpu.parallel.mesh import DATA_AXIS
+
+    row, rep = P(DATA_AXIS), P()
+    return ReplayBuffer(
+        images=row, speed=row, command=row, controls=row, valid=row,
+        cursor=rep, total_written=rep, filled=rep, cmd_counts=rep,
+    )
 
 
 def fused_collect_train(
@@ -184,8 +204,16 @@ def fused_collect_train(
     cam: CameraSpec = CAMERA,
     eval_every: int = 200,
     verbose: bool = True,
+    mesh=None,
 ) -> dict[str, Any]:
-    """Run the fused loop. Returns {state, history, frames_collected, ...}."""
+    """Run the fused loop. Returns {state, history, frames_collected, ...}.
+
+    With `mesh` (a jax.sharding.Mesh over the data axis), the fleet and the
+    ring buffer shard over devices via shard_map: collection is local per
+    device (each shard owns its envs and its ring region — zero collectives),
+    training is classic DP (local batch, pmean'd gradients over ICI). This is
+    the distributed story SURVEY.md §7.8 calls for, replacing the reference's
+    CARLA client/server RPC seam."""
     cfg = cfg or TrainConfig()
     rng = np.random.RandomState(seed)
     wt_ = load_weather_table()
@@ -216,11 +244,9 @@ def fused_collect_train(
     buf = make_buffer(buffer_frames, cam.height, cam.width)
     tstate = create_train_state(cfg, jax.random.PRNGKey(seed),
                                 steps_per_epoch=max(total_train_steps // cfg.training.epochs, 1))
-    train_step = weighted_train_step(cfg)
     B = cfg.training.batch_size
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def collect_chunk(fl, b, net_, pools_):
+    def _collect_body(fl, b, net_, pools_):
         def one(s, p):
             def body(c, _):
                 c2, out = env_step(c, net_, p, wt_, params, None, mode="collect",
@@ -237,16 +263,91 @@ def fused_collect_train(
         )
         return fl2, b2
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def train_chunk(ts, b, key, net_unused):
+    def _train_body(ts, b, key, step_fn, batch_size):
         def body(carry, k):
             ts_, _ = carry
-            batch = sample_batch(b, k, B)
-            ts2, parts = train_step(ts_, batch, k)
+            batch = sample_batch(b, k, batch_size)
+            ts2, parts = step_fn(ts_, batch, k)
             return (ts2, parts["plain_loss"]), None
         keys = jax.random.split(key, train_steps_per_chunk)
         (ts2, last_loss), _ = jax.lax.scan(body, (ts, jnp.asarray(0.0)), keys)
         return ts2, last_loss
+
+    n_dev = 1 if mesh is None else int(mesh.devices.size)
+    if n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cilrs_tpu.parallel.mesh import DATA_AXIS, shard_map_compat
+
+        assert num_envs % n_dev == 0, (num_envs, n_dev)
+        assert buffer_frames % n_dev == 0, (buffer_frames, n_dev)
+        row, rep = P(DATA_AXIS), P()
+        bspecs = buffer_pspecs()
+        step_fn = weighted_train_step(cfg, axis_name=DATA_AXIS)
+        B_local = max(B // n_dev, 1)
+
+        def collect_local(fl, b, net_, pools_):
+            fl2, b2 = _collect_body(fl, b, net_, pools_)
+            # Ring writes and the cursor are shard-local; make the global
+            # counters global with a psum of the local increments.
+            d_tw = b2.total_written - b.total_written
+            d_cc = b2.cmd_counts - b.cmd_counts
+            return fl2, b2.replace(
+                total_written=b.total_written + jax.lax.psum(d_tw, DATA_AXIS),
+                cmd_counts=b.cmd_counts + jax.lax.psum(d_cc, DATA_AXIS),
+            )
+
+        def train_local(ts, b, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            return _train_body(ts, b, key, step_fn, B_local)
+
+        collect_chunk = jax.jit(
+            shard_map_compat(collect_local, mesh,
+                             in_specs=(row, bspecs, rep, row),
+                             out_specs=(row, bspecs)),
+            donate_argnums=(0, 1),
+        )
+        train_chunk_sharded = jax.jit(
+            shard_map_compat(train_local, mesh,
+                             in_specs=(rep, bspecs, rep),
+                             out_specs=(rep, rep)),
+            donate_argnums=0,
+        )
+        train_chunk = lambda ts, b, key, _net: train_chunk_sharded(ts, b, key)
+
+        V_local_total = (min(4096, buffer_frames // 4) // (B * n_dev)) * B
+        freeze_fn = jax.jit(
+            shard_map_compat(
+                functools.partial(freeze_val_slice, size=max(V_local_total, B)),
+                mesh, in_specs=(bspecs,),
+                out_specs=(bspecs, {k: row for k in
+                                    ("images", "speed", "command", "controls",
+                                     "valid")}),
+            )
+        )
+
+        def shard_tree(tree, spec_tree):
+            to_sharding = lambda s: NamedSharding(mesh, s)
+            if isinstance(spec_tree, P):
+                return jax.device_put(tree, to_sharding(spec_tree))
+            return jax.tree.map(
+                lambda x, s: jax.device_put(x, to_sharding(s)), tree, spec_tree,
+                is_leaf=lambda x: x is None,
+            )
+
+        fleet = shard_tree(fleet, row)
+        pool_stack = shard_tree(pool_stack, row)
+        buf = shard_tree(buf, bspecs)
+        tstate = shard_tree(tstate, rep)
+    else:
+        collect_chunk = jax.jit(_collect_body, donate_argnums=(0, 1))
+        train_step = weighted_train_step(cfg)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def train_chunk(ts, b, key, net_unused):
+            return _train_body(ts, b, key, train_step, B)
+
+        freeze_fn = None
 
     @jax.jit
     def eval_loss(ts, val):
@@ -285,8 +386,11 @@ def fused_collect_train(
     # Held-out validation slice: the freshest V warmup frames, snapshotted and
     # excluded from train sampling (freeze_val_slice marks them invalid; the
     # ring later refills those slots with new frames).
-    V = (min(4096, buffer_frames // 4) // B) * B
-    buf, val_set = jax.jit(functools.partial(freeze_val_slice, size=V))(buf)
+    if freeze_fn is not None:
+        buf, val_set = freeze_fn(buf)
+    else:
+        V = (min(4096, buffer_frames // 4) // B) * B
+        buf, val_set = jax.jit(functools.partial(freeze_val_slice, size=V))(buf)
 
     steps_done = 0
     t1 = time.time()
