@@ -111,6 +111,7 @@ def env_observe(
     pool: RoutePool,
     cam: CameraSpec = CAMERA,
     want_frame: bool = True,
+    mode: str = "drive",
 ):
     """Per-env observation phase: route context, perception, camera.
 
@@ -130,7 +131,10 @@ def env_observe(
     hint = steer_hint(route, route_idx, ego_pos, ego_yaw)
 
     # --- perception ---
-    obs_dist = perception.get_obstacle_distance(world)
+    # Teacher labels use the instantaneous corridor only (observable from one
+    # frame); the deploy-time safety layer keeps predictive horizons.
+    horizons = (0.0,) if mode == "collect" else perception.PREDICT_HORIZONS
+    obs_dist = perception.get_obstacle_distance(world, horizons=horizons)
     tl_state, tl_idx = perception.check_traffic_light(
         net, lights, ego_pos, ego_yaw, return_index=True
     )
@@ -412,7 +416,8 @@ def env_step(
     For fleets in drive mode prefer `fleet_rollout`, which batches the policy
     across envs instead of running it per env.
     """
-    obs = env_observe(state, net, pool, cam, want_frame=want_frame or mode == "drive")
+    obs = env_observe(state, net, pool, cam,
+                      want_frame=want_frame or mode == "drive", mode=mode)
     if mode == "drive":
         assert policy_fn is not None
         x = normalize(obs["frame"])[None]
@@ -441,7 +446,7 @@ def fleet_rollout(
     """Fleet scan with the policy BATCHED over envs each tick (the fast path:
     per-env batch-1 policy calls under vmap lower ~7x slower)."""
     obs_fn = lambda s, p: env_observe(
-        s, net, p, cam, want_frame=want_frames or mode == "drive")
+        s, net, p, cam, want_frame=want_frames or mode == "drive", mode=mode)
     act_fn = lambda s, o, nn, p: env_act(
         s, o, nn, net, p, wt, params, mode=mode, loop_routes=loop_routes)
 

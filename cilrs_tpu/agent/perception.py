@@ -72,6 +72,7 @@ PREDICT_HORIZONS = (0.0, 0.6, 1.2)  # s — crossing-traffic anticipation
 def get_obstacle_distance(
     world: WorldState,
     cfg: ObstacleConfig = ObstacleConfig(),
+    horizons: tuple = PREDICT_HORIZONS,
 ) -> jnp.ndarray:
     """Distance to the nearest actor in the ego's forward corridor (else 999).
 
@@ -80,6 +81,12 @@ def get_obstacle_distance(
     that anticipates crossing traffic at junctions, which the reference left to
     CARLA's TrafficManager-side yielding (and to the documented-but-unshipped
     oncoming-traffic filter, SURVEY.md §2.3 item 7).
+
+    Pass horizons=(0.0,) for the instantaneous corridor only — used for the
+    TEACHER's labels: extrapolation depends on actor velocities, which a
+    single-frame policy cannot observe, so velocity-dependent labels are
+    irreducible noise for behavior cloning (the reference's TM teacher also
+    gates on instantaneous geometry).
     """
     pos, yaw = world.ego_pos, world.ego_yaw
     fwd = heading_vec(yaw)
@@ -87,7 +94,7 @@ def get_obstacle_distance(
 
     def corridor_min(actor_pos, actor_vel, alive) -> jnp.ndarray:
         best = jnp.asarray(NO_OBSTACLE)
-        for t in PREDICT_HORIZONS:
+        for t in horizons:
             rel = (actor_pos + actor_vel * t) - (pos + ego_vel * t)  # [A,2]
             dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-9)
             dirn = rel / jnp.maximum(dist[:, None], 1e-6)

@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--pretrained-backbone", default=None,
+                   help="torchvision resnet34 state_dict .pth to init the trunk "
+                        "(reference notebook PART B uses ImageNet weights)")
     args = p.parse_args(argv)
 
     cfg = load_train_config(args.config)
@@ -37,7 +40,8 @@ def main(argv=None):
     print(f"Loading sessions: {args.data}")
     ds = load_sessions(args.data)
     print(f"  {len(ds)} frames")
-    out = train(ds, cfg, ckpt_dir=args.ckpt_dir, resume=args.resume)
+    out = train(ds, cfg, ckpt_dir=args.ckpt_dir, resume=args.resume,
+                pretrained_backbone=args.pretrained_backbone)
     print(f"\nBest val loss: {out['best_val_loss']:.4f}")
     return out
 

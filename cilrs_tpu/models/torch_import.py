@@ -143,3 +143,72 @@ def load_reference_checkpoint(path: str, num_commands: int = 4):
     params, stats = convert_reference_cilrs(sd, num_commands)
     to_jnp = lambda tree: jax.tree.map(lambda x: jax.numpy.asarray(x), tree)
     return {"params": to_jnp(params), "batch_stats": to_jnp(stats)}
+
+
+def convert_torchvision_resnet34(sd: dict[str, np.ndarray]):
+    """Plain torchvision resnet34 state dict (names conv1/bn1/layer{1..4}.*)
+    -> (trunk params, trunk batch_stats) under the "visual_encoder" scope.
+
+    This is the ImageNet-pretrained-trunk path: the reference's TRAINING copy
+    initializes from `models.ResNet34_Weights.DEFAULT` (notebook PART B,
+    SURVEY.md §2.1 "CILRS model (training copy)"). Save the weights once with
+    `torch.save(resnet34(weights=DEFAULT).state_dict(), "resnet34.pth")` and
+    pass the file to --pretrained-backbone. The classifier fc.* is ignored.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(value)
+
+    def bn(prefix_t, path_f):
+        put(params, path_f + ("scale",), sd[prefix_t + ".weight"])
+        put(params, path_f + ("bias",), sd[prefix_t + ".bias"])
+        put(stats, path_f + ("mean",), sd[prefix_t + ".running_mean"])
+        put(stats, path_f + ("var",), sd[prefix_t + ".running_var"])
+
+    enc = ("visual_encoder",)
+    put(params, enc + ("conv1", "kernel"), _conv(sd["conv1.weight"]))
+    bn("bn1", enc + ("bn1",))
+    for layer, nblocks in _STAGE_SIZES.items():
+        stage = int(layer[-1])
+        for block in range(nblocks):
+            t = f"{layer}.{block}"
+            f = enc + (f"layer{stage}_{block}",)
+            put(params, f + ("conv1", "kernel"), _conv(sd[f"{t}.conv1.weight"]))
+            bn(f"{t}.bn1", f + ("bn1",))
+            put(params, f + ("conv2", "kernel"), _conv(sd[f"{t}.conv2.weight"]))
+            bn(f"{t}.bn2", f + ("bn2",))
+            if f"{t}.downsample.0.weight" in sd:
+                put(params, f + ("downsample_conv", "kernel"),
+                    _conv(sd[f"{t}.downsample.0.weight"]))
+                bn(f"{t}.downsample.1", f + ("downsample_bn",))
+    return params, stats
+
+
+def init_trunk_from_torchvision(params, batch_stats, path_or_sd):
+    """Graft an ImageNet-pretrained resnet34 onto the visual_encoder of an
+    existing (params, batch_stats) pair; heads stay as initialized. Accepts a
+    .pth path or an already-loaded {name: array} dict. Returns new trees."""
+    import jax
+
+    sd = (load_torch_state_dict(path_or_sd)
+          if isinstance(path_or_sd, str) else path_or_sd)
+    trunk_p, trunk_s = convert_torchvision_resnet34(sd)
+
+    def merge(dst, src):
+        out = dict(dst)
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k] = merge(out[k], v)
+            else:
+                expect = jax.tree.leaves(out[k])[0].shape if k in out else None
+                assert expect == np.asarray(v).shape, (
+                    f"shape mismatch grafting {k}: {expect} vs {np.asarray(v).shape}")
+                out[k] = jax.numpy.asarray(v)
+        return out
+
+    return merge(params, trunk_p), merge(batch_stats, trunk_s)

@@ -279,15 +279,19 @@ def render_frame(
     vyaw = world.veh_yaw[lo:]
     valive = world.veh_alive[lo:]
     V1 = vpos.shape[0]
-    t_veh, shade = _ray_obb(o_rel, rays, vpos, vyaw, 4.7 / 2, 2.0 / 2, VEH_HEIGHT)
-    t_veh = jnp.where(valive[None, :], t_veh, INF)
-    t_v = jnp.min(t_veh, axis=1)
-    is_min = (t_veh <= t_v[:, None] + 1e-3) & (t_veh < INF)
-    norm = jnp.maximum(jnp.sum(is_min, axis=1, keepdims=True), 1)
-    w_v = is_min.astype(jnp.float32) / norm  # [N, V1]
-    palette = _VEH_COLORS[(jnp.arange(V1) + 1) % _VEH_COLORS.shape[0]]  # [V1,3] (once)
-    sh_v = jnp.sum(w_v * shade, axis=1)
-    v_color = (w_v @ palette) * sh_v[:, None]
+    if V1 > 0:
+        t_veh, shade = _ray_obb(o_rel, rays, vpos, vyaw, 4.7 / 2, 2.0 / 2, VEH_HEIGHT)
+        t_veh = jnp.where(valive[None, :], t_veh, INF)
+        t_v = jnp.min(t_veh, axis=1)
+        is_min = (t_veh <= t_v[:, None] + 1e-3) & (t_veh < INF)
+        norm = jnp.maximum(jnp.sum(is_min, axis=1, keepdims=True), 1)
+        w_v = is_min.astype(jnp.float32) / norm  # [N, V1]
+        palette = _VEH_COLORS[(jnp.arange(V1) + 1) % _VEH_COLORS.shape[0]]  # [V1,3] (once)
+        sh_v = jnp.sum(w_v * shade, axis=1)
+        v_color = (w_v @ palette) * sh_v[:, None]
+    else:  # ego-only world
+        t_v = jnp.full((N,), INF)
+        v_color = jnp.zeros((N, 3))
 
     # --- pedestrians ---
     ped_rel = world.ped_pos - o[:2]

@@ -351,7 +351,9 @@ def fused_collect_train(
 
     @jax.jit
     def eval_loss(ts, val):
-        """Mean loss over the frozen validation slice (masked by validity)."""
+        """Loss over the frozen validation slice (masked by validity).
+        Returns [5]: total, and the weighted steer/throttle/brake/speed terms —
+        the breakdown shows where residual loss lives."""
         def body(carry, sl):
             x = normalize(sl["images"].astype(jnp.float32) / 255.0)
             controls, pred_speed = ts.apply_fn(
@@ -359,18 +361,21 @@ def fused_collect_train(
                 x, sl["speed"], sl["command"], train=False,
             )
             l1 = jnp.abs(controls - sl["controls"])
-            per = (cfg.loss.steer_weight * l1[:, 0]
-                   + cfg.loss.throttle_weight * l1[:, 1]
-                   + cfg.loss.brake_weight * l1[:, 2]
-                   + cfg.loss.speed_weight * (pred_speed - sl["speed"]) ** 2)
+            terms = jnp.stack([
+                cfg.loss.steer_weight * l1[:, 0],
+                cfg.loss.throttle_weight * l1[:, 1],
+                cfg.loss.brake_weight * l1[:, 2],
+                cfg.loss.speed_weight * (pred_speed - sl["speed"]) ** 2,
+            ])  # [4, B]
             m = sl["valid"].astype(jnp.float32)
             s, c = carry
-            return (s + jnp.sum(per * m), c + jnp.sum(m)), None
+            return (s + jnp.sum(terms * m[None, :], axis=1), c + jnp.sum(m)), None
 
         batched = jax.tree.map(
             lambda x: x.reshape((-1, B) + x.shape[1:]), val)
-        (s, c), _ = jax.lax.scan(body, (jnp.asarray(0.0), jnp.asarray(0.0)), batched)
-        return s / jnp.maximum(c, 1.0)
+        (s, c), _ = jax.lax.scan(body, (jnp.zeros(4), jnp.asarray(0.0)), batched)
+        terms = s / jnp.maximum(c, 1.0)
+        return jnp.concatenate([jnp.sum(terms)[None], terms])
 
     history = []
     key = jax.random.PRNGKey(seed + 7)
@@ -400,15 +405,20 @@ def fused_collect_train(
         tstate, loss = train_chunk(tstate, buf, k, None)
         steps_done += train_steps_per_chunk
         if steps_done % eval_every < train_steps_per_chunk:
-            vl = float(eval_loss(tstate, val_set))
+            terms = np.asarray(eval_loss(tstate, val_set))
+            vl = float(terms[0])
             history.append({
                 "step": steps_done, "val_loss": vl,
+                "val_steer": float(terms[1]), "val_throttle": float(terms[2]),
+                "val_brake": float(terms[3]), "val_speed": float(terms[4]),
                 "frames": int(buf.total_written),
                 "time_s": time.time() - t1,
             })
             history[-1]["train_loss"] = float(loss)
             if verbose:
                 print(f"  step {steps_done}: holdout loss {vl:.4f} "
+                      f"[st {terms[1]:.3f} th {terms[2]:.3f} "
+                      f"br {terms[3]:.3f} sp {terms[4]:.3f}] "
                       f"(train {float(loss):.4f}, "
                       f"{int(buf.total_written):,} frames seen, {time.time()-t1:.0f}s)",
                       flush=True)

@@ -45,6 +45,7 @@ def train(
     mesh=None,
     steps_per_epoch: int | None = None,
     verbose: bool = True,
+    pretrained_backbone: str | None = None,
 ) -> dict:
     """Full training run. Returns history dict incl. best_val_loss."""
     cfg = cfg or TrainConfig()
@@ -59,6 +60,15 @@ def train(
     spe = steps_per_epoch or max(1, len(train_idx) // B)
 
     state = create_train_state(cfg, jax.random.PRNGKey(cfg.training.seed), spe)
+    if pretrained_backbone:
+        from cilrs_tpu.models.torch_import import init_trunk_from_torchvision
+
+        p_new, s_new = init_trunk_from_torchvision(
+            state.params, state.batch_stats, pretrained_backbone)
+        state = state.replace(params=p_new, batch_stats=s_new)
+        if verbose:
+            print(f"  trunk initialized from {pretrained_backbone} "
+                  f"(ImageNet-pretrained resnet34, notebook PART B parity)")
     state = jax.tree.map(
         lambda x: replicate(mesh, x) if isinstance(x, jax.Array) else x, state
     )

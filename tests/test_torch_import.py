@@ -124,3 +124,75 @@ def test_torch_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(f_pred), t_pred.numpy(), atol=2e-3, rtol=1e-3
     )
+
+
+def test_torchvision_trunk_graft():
+    """init_trunk_from_torchvision grafts a plain torchvision resnet34
+    state_dict onto the visual encoder and leaves the heads untouched."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cilrs_tpu.models import CILRS
+    from cilrs_tpu.models.torch_import import init_trunk_from_torchvision
+
+    model = CILRS(dropout=0.0)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 88, 200, 3)), jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
+        train=False,
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+
+    # Synthesize a torchvision-style state dict with random values by
+    # inverse-mapping our own trunk's shapes.
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def add_conv(tname, kernel):
+        shape = np.transpose(kernel, (3, 2, 0, 1)).shape
+        sd[tname] = (rng.randn(*shape) * 0.05).astype(np.float32)
+
+    def add_bn(tname, scope):
+        n = scope["scale"].shape[0]
+        sd[tname + ".weight"] = (1.0 + 0.1 * rng.randn(n)).astype(np.float32)
+        sd[tname + ".bias"] = (0.1 * rng.randn(n)).astype(np.float32)
+        sd[tname + ".running_mean"] = (0.1 * rng.randn(n)).astype(np.float32)
+        sd[tname + ".running_var"] = np.abs(rng.randn(n) * 0.1 + 1.0).astype(np.float32)
+
+    enc = params["visual_encoder"]
+    add_conv("conv1.weight", enc["conv1"]["kernel"])
+    add_bn("bn1", enc["bn1"])
+    for stage, nblocks in ((1, 3), (2, 4), (3, 6), (4, 3)):
+        for b in range(nblocks):
+            f = enc[f"layer{stage}_{b}"]
+            add_conv(f"layer{stage}.{b}.conv1.weight", f["conv1"]["kernel"])
+            add_bn(f"layer{stage}.{b}.bn1", f["bn1"])
+            add_conv(f"layer{stage}.{b}.conv2.weight", f["conv2"]["kernel"])
+            add_bn(f"layer{stage}.{b}.bn2", f["bn2"])
+            if "downsample_conv" in f:
+                add_conv(f"layer{stage}.{b}.downsample.0.weight",
+                         f["downsample_conv"]["kernel"])
+                add_bn(f"layer{stage}.{b}.downsample.1", f["downsample_bn"])
+    sd["fc.weight"] = rng.randn(1000, 512).astype(np.float32)  # ignored
+
+    p2, s2 = init_trunk_from_torchvision(params, stats, sd)
+
+    # Trunk conv grafted with the OIHW -> HWIO transpose applied.
+    got = np.asarray(p2["visual_encoder"]["conv1"]["kernel"])
+    np.testing.assert_allclose(got, np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+    got_bn = np.asarray(s2["visual_encoder"]["layer3_2"]["bn2"]["mean"])
+    np.testing.assert_allclose(got_bn, sd["layer3.2.bn2.running_mean"])
+    # Heads untouched.
+    np.testing.assert_allclose(
+        np.asarray(p2["branches"]["w1"]), np.asarray(params["branches"]["w1"]))
+    np.testing.assert_allclose(
+        np.asarray(p2["speed_fc1"]["kernel"]), np.asarray(params["speed_fc1"]["kernel"]))
+    # Grafted model still runs.
+    out, _ = CILRS(dropout=0.0).apply(
+        {"params": p2, "batch_stats": s2},
+        jnp.zeros((2, 88, 200, 3)), jnp.zeros((2,)), jnp.zeros((2,), jnp.int32),
+        train=False,
+    ), None
+    controls, pred_speed = out
+    assert controls.shape == (2, 3) and np.isfinite(np.asarray(controls)).all()
