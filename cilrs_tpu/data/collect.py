@@ -31,6 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from cilrs_tpu.agent.controller import ST_OK
 from cilrs_tpu.agent.driver import DT, make_driver_state, rollout
 from cilrs_tpu.agent.scenario import spawn_world
 from cilrs_tpu.config import SPEED_NORM_FACTOR, COMMAND_NAMES, load_weather_table
@@ -121,7 +122,12 @@ def collect_session(
         yaws = np.asarray(outs["yaw"])
 
         E, T = speeds.shape
-        keep = speeds.reshape(-1) > MIN_SPEED_KMH
+        # Stationary-frame skip (reference collect_data.py:678-679) plus label
+        # hygiene: drop recovery/teleport frames whose controls come from the
+        # pseudo-random recovery machine, not the teacher (unlearnable labels;
+        # the reference's autopilot dataset never contains such frames).
+        status = np.asarray(outs["status"]).reshape(-1)
+        keep = (speeds.reshape(-1) > MIN_SPEED_KMH) & (status == ST_OK)
         idx = np.nonzero(keep)[0]
         if idx.size == 0:
             continue

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from cilrs_tpu.agent.controller import ST_OK
 from cilrs_tpu.agent.driver import DT, env_step, make_driver_state
 from cilrs_tpu.agent.scenario import spawn_world
 from cilrs_tpu.config import SPEED_NORM_FACTOR, TrainConfig, load_weather_table
@@ -242,9 +243,23 @@ def fused_collect_train(
     fleet = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
     buf = make_buffer(buffer_frames, cam.height, cam.width)
-    tstate = create_train_state(cfg, jax.random.PRNGKey(seed),
-                                steps_per_epoch=max(total_train_steps // cfg.training.epochs, 1))
+    tstate = create_train_state(
+        cfg, jax.random.PRNGKey(seed),
+        steps_per_epoch=max(total_train_steps // cfg.training.epochs, 1),
+        schedule="cosine", total_steps=total_train_steps,
+    )
     B = cfg.training.batch_size
+    # Polyak average of the params for evaluation/deployment: the streaming
+    # gradient noise makes the raw-iterate holdout loss swing by +-0.02 between
+    # evals; the EMA iterate is both steadier and measurably better.
+    # (jnp.copy: tstate is DONATED into the first train_chunk, which would
+    # invalidate an aliased initial EMA tree.)
+    ema_params = jax.tree.map(jnp.copy, tstate.params)
+    ema_decay = 0.999 ** train_steps_per_chunk  # one EMA update per chunk
+
+    @jax.jit
+    def ema_update(ema, params, d):
+        return jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema, params)
 
     def _collect_body(fl, b, net_, pools_):
         def one(s, p):
@@ -256,10 +271,15 @@ def fused_collect_train(
 
         fl2, outs = jax.vmap(one)(fl, pools_)
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        # Label hygiene: only NOMINAL frames become training data. Recovery
+        # episodes steer by a pseudo-random hash (driver.py rsteer) — recording
+        # them hands BC unlearnable steer labels (the reference's dataset never
+        # contains them: CARLA's autopilot has no recovery mode).
+        nominal = flat(outs["status"]) == ST_OK
         b2 = write_chunk(
             b, flat(outs["frame"]), flat(outs["speed_kmh"]),
             flat(outs["command"]), flat(outs["control"]),
-            flat(outs["speed_kmh"]) > 0.5,
+            (flat(outs["speed_kmh"]) > 0.5) & nominal,
         )
         return fl2, b2
 
@@ -350,14 +370,14 @@ def fused_collect_train(
         freeze_fn = None
 
     @jax.jit
-    def eval_loss(ts, val):
-        """Loss over the frozen validation slice (masked by validity).
-        Returns [5]: total, and the weighted steer/throttle/brake/speed terms —
-        the breakdown shows where residual loss lives."""
+    def eval_loss(ts, eparams, val):
+        """Loss over the frozen validation slice (masked by validity), with the
+        EMA params. Returns [5]: total, and the weighted steer/throttle/brake/
+        speed terms — the breakdown shows where residual loss lives."""
         def body(carry, sl):
             x = normalize(sl["images"].astype(jnp.float32) / 255.0)
             controls, pred_speed = ts.apply_fn(
-                {"params": ts.params, "batch_stats": ts.batch_stats},
+                {"params": eparams, "batch_stats": ts.batch_stats},
                 x, sl["speed"], sl["command"], train=False,
             )
             l1 = jnp.abs(controls - sl["controls"])
@@ -403,9 +423,14 @@ def fused_collect_train(
         fleet, buf = collect_chunk(fleet, buf, net, pool_stack)
         key, k = jax.random.split(key)
         tstate, loss = train_chunk(tstate, buf, k, None)
+        # Ramped decay (min(d, (1+n)/(10+n))): the average forgets the random
+        # init quickly instead of carrying its bias for ~1/(1-d) chunks.
+        n_chunk = steps_done // train_steps_per_chunk + 1
+        d = min(ema_decay, (1.0 + n_chunk) / (10.0 + n_chunk))
+        ema_params = ema_update(ema_params, tstate.params, d)
         steps_done += train_steps_per_chunk
         if steps_done % eval_every < train_steps_per_chunk:
-            terms = np.asarray(eval_loss(tstate, val_set))
+            terms = np.asarray(eval_loss(tstate, ema_params, val_set))
             vl = float(terms[0])
             history.append({
                 "step": steps_done, "val_loss": vl,
@@ -424,6 +449,8 @@ def fused_collect_train(
                       flush=True)
 
     wall = time.time() - t1
+    # Deploy the EMA iterate: it is what the holdout numbers were measured on.
+    tstate = tstate.replace(params=ema_params)
     return {
         "state": tstate,
         "history": history,

@@ -48,12 +48,31 @@ def step_lr(cfg: OptimizerConfig, steps_per_epoch: int) -> optax.Schedule:
     return schedule
 
 
-def make_optimizer(cfg: OptimizerConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: OptimizerConfig,
+    steps_per_epoch: int,
+    schedule: str = "step",
+    total_steps: int | None = None,
+) -> optax.GradientTransformation:
+    """`schedule`: "step" = notebook StepLR parity; "cosine" = warmup+cosine to
+    ~0, the better fit for the fused streaming loop where the final-checkpoint
+    quality (not per-epoch parity) is what matters."""
+    if schedule == "cosine":
+        assert total_steps is not None
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=cfg.learning_rate * 0.05,
+            peak_value=cfg.learning_rate,
+            warmup_steps=min(max(total_steps // 50, 10), max(total_steps // 2, 1)),
+            decay_steps=total_steps,
+            end_value=cfg.learning_rate * 0.01,
+        )
+    else:
+        sched = step_lr(cfg, steps_per_epoch)
     return optax.chain(
         optax.clip_by_global_norm(cfg.gradient_clip),
         optax.add_decayed_weights(cfg.weight_decay),  # torch-Adam coupled L2
         optax.scale_by_adam(),
-        optax.scale_by_learning_rate(step_lr(cfg, steps_per_epoch)),
+        optax.scale_by_learning_rate(sched),
     )
 
 
@@ -61,6 +80,8 @@ def create_train_state(
     cfg: TrainConfig,
     rng: jnp.ndarray,
     steps_per_epoch: int = 1000,
+    schedule: str = "step",
+    total_steps: int | None = None,
 ) -> CILRSTrainState:
     model = CILRS(num_commands=cfg.model.num_commands, dropout=cfg.model.dropout,
                   stage_sizes=tuple(cfg.model.stage_sizes))
@@ -72,7 +93,8 @@ def create_train_state(
         jnp.zeros((1,), jnp.int32),
         train=False,
     )
-    tx = make_optimizer(cfg.optimizer, steps_per_epoch)
+    tx = make_optimizer(cfg.optimizer, steps_per_epoch, schedule=schedule,
+                        total_steps=total_steps)
     return CILRSTrainState(
         step=jnp.asarray(0, jnp.int32),
         params=variables["params"],
