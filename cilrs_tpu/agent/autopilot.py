@@ -61,13 +61,16 @@ def autopilot_controls(
     """Returns (steer, throttle, brake) in the same ranges the model learns."""
     last = route.length - 1
 
-    # Pure pursuit on a CONTINUOUS lookahead point: fractional localization +
-    # interpolated target, so the steer label is a smooth function of pose.
-    # Kept short so 90-degree junction arcs are tracked instead of corner-cut
-    # (the off-road metric measures distance to the lane centerline).
+    # Pure pursuit on a QUANTIZED waypoint target (integer lookahead on the
+    # 2 m route grid). A/B against fractional-interpolated targets showed the
+    # quantized labels clone markedly better (steer holdout 0.039 vs 0.06+):
+    # a piecewise-constant target is insensitive to the fine longitudinal
+    # position the image can't resolve, the same plateau principle as the
+    # throttle law below. Fractional localization is still used for the speed
+    # plateaus (it keeps the bend lookahead from jumping a full waypoint).
     s = _localize_continuous(route, route_idx, pos)
-    lookahead = 2.0 + speed_kmh * 0.08
-    target = _interp_route(route, s + lookahead)
+    lookahead = (2.0 + speed_kmh * 0.08).astype(jnp.int32)
+    target = route.xy[jnp.minimum(route_idx + lookahead, last)]
     to_t = target - pos
     desired = jnp.arctan2(to_t[1], to_t[0])
     err = wrap_angle(desired - yaw)
@@ -95,10 +98,19 @@ def autopilot_controls(
     band = 5.0  # km/h: linear strip below target where throttle feathers out
     v_gap = target_speed_kmh - speed_kmh
     throttle = 0.62 * jnp.clip(v_gap / band, 0.0, 1.0)
-    brake = 0.5 * jnp.clip((-v_gap - 3.0) / 4.0, 0.0, 1.0)
+    # Brake engages just past the target so turn entries actually reach the
+    # 18 km/h plateau before the corner (late soft braking lets the ego carry
+    # 21+ into 90-degree turns — the resulting wide/corrective pose
+    # distribution is where steer label error concentrates).
+    brake = 0.5 * jnp.clip((-v_gap - 1.0) / 3.0, 0.0, 1.0)
 
-    # Corner ease-off only on LARGE heading error (rare; avoids modulating the
-    # everyday label with a hard-to-see continuous factor).
+    # Corner ease-off: cut throttle when heading error is large at speed, and
+    # brake on extreme error. err is legible (vanishing-point offset) and speed
+    # is a model input, so the modulation stays learnable; it keeps corner
+    # traversal slow and consistent, which is what makes turn steer clonable.
+    corneriness = jnp.clip((jnp.abs(err) - 0.2) * 5.0, 0.0, 1.0)
+    fast = jnp.clip((speed_kmh - 14.0) / 8.0, 0.0, 1.0)
+    throttle = throttle * (1.0 - corneriness * fast)
     brake = jnp.maximum(brake, jnp.clip((jnp.abs(err) - 0.5) * 2.0, 0.0, 1.0) * 0.3)
 
     # Obstacle gating: decisive CLOSE-RANGE follow/brake (TM keeps a ~3 m gap

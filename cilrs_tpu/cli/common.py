@@ -56,11 +56,17 @@ def load_policy(checkpoint: str | None, cfg: TrainConfig | None = None):
     cfg = cfg or TrainConfig()
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     if checkpoint and checkpoint.endswith((".pth", ".pt")):
+        from cilrs_tpu.models.cilrs import CILRS
         from cilrs_tpu.models.torch_import import load_reference_checkpoint
 
         variables = load_reference_checkpoint(checkpoint)
         print(f"  loaded torch checkpoint: {checkpoint}")
-        return state.apply_fn, variables
+        # Reference checkpoints have no speed-skip parameters: drive them
+        # through the exact reference architecture.
+        parity = CILRS(num_commands=cfg.model.num_commands, dropout=0.0,
+                       stage_sizes=tuple(cfg.model.stage_sizes),
+                       speed_skip=False)
+        return parity.apply, variables
     if checkpoint:
         state = restore_best_params(checkpoint, state)
         print(f"  loaded checkpoint: {checkpoint}")

@@ -102,6 +102,9 @@ class ModelConfig:
     speed_normalization: float = SPEED_NORM_FACTOR
     # ResNet stage depths; (1, 1, 1, 1) gives a fast "resnet10" for tests.
     stage_sizes: tuple = (3, 4, 6, 3)
+    # Speed-aware head (dropout-free speed encoder + per-command linear speed
+    # skip). False reproduces the reference architecture exactly.
+    speed_skip: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

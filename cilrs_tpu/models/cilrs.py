@@ -37,9 +37,10 @@ class BranchHeads(nn.Module):
 
     num_commands: int = 4
     dropout: float = 0.0
+    speed_skip: bool = False
 
     @nn.compact
-    def __call__(self, combined, command, train: bool = False):
+    def __call__(self, combined, command, train: bool = False, speed=None):
         K, H, D = self.num_commands, BRANCH_HIDDEN, combined.shape[-1]
         init = nn.initializers.lecun_normal()
         w1 = self.param("w1", init, (D, K * H), jnp.float32)
@@ -57,6 +58,16 @@ class BranchHeads(nn.Module):
         h2 = nn.relu(h2)
         h2 = nn.Dropout(self.dropout, deterministic=not train)(h2)
         out = jnp.einsum("bkh,khj->bkj", h2, w3.astype(jnp.bfloat16)) + b3  # [B, K, 3]
+        if self.speed_skip and speed is not None:
+            # Direct per-command linear term in normalized speed. The teacher's
+            # throttle is a steep exact function of the (exactly known) speed
+            # input, but with dropout-regularized deep paths SGD settles into
+            # ignoring the scalar (CILRS's classic inertia failure: measured
+            # d(throttle)/d(speed) was ~3% of the teacher's law). A linear
+            # skip makes the speed law a one-step learning problem.
+            w_sk = self.param("speed_skip_w", nn.initializers.zeros,
+                              (K, NUM_OUTPUTS), jnp.float32)
+            out = out + speed[:, None, None].astype(out.dtype) * w_sk.astype(out.dtype)
         onehot = jnp.eye(K, dtype=out.dtype)[command]  # [B, K]
         return jnp.einsum("bkj,bk->bj", out, onehot).astype(jnp.float32)
 
@@ -68,6 +79,10 @@ class CILRS(nn.Module):
     # ResNet-34 by default; tests use tiny stage configs for fast CPU compiles.
     stage_sizes: tuple = (3, 4, 6, 3)
     stage_features: tuple = (64, 128, 256, 512)
+    # Speed-aware head: dropout-free speed encoder + per-command linear speed
+    # skip into the branch outputs (keeps the model from ignoring the speed
+    # input). Off for strict reference-checkpoint interop (torch_import).
+    speed_skip: bool = True
 
     @nn.compact
     def __call__(self, image, speed, command, train: bool = False):
@@ -84,7 +99,8 @@ class CILRS(nn.Module):
         s = speed[:, None].astype(jnp.float32)
         s = nn.Dense(SPEED_DIM, name="speed_fc1")(s)
         s = nn.relu(s)
-        s = nn.Dropout(self.dropout, deterministic=not train)(s)
+        if not self.speed_skip:  # reference parity: dropout on the speed path
+            s = nn.Dropout(self.dropout, deterministic=not train)(s)
         s = nn.Dense(SPEED_DIM, name="speed_fc2")(s)
         s = nn.relu(s)
 
@@ -98,6 +114,7 @@ class CILRS(nn.Module):
         pred_speed = nn.Dense(1, name="speed_pred_out")(p)[:, 0]
 
         controls = BranchHeads(
-            num_commands=self.num_commands, dropout=self.dropout, name="branches"
-        )(combined, command, train=train)
+            num_commands=self.num_commands, dropout=self.dropout,
+            speed_skip=self.speed_skip, name="branches",
+        )(combined, command, train=train, speed=speed)
         return controls, pred_speed

@@ -134,6 +134,15 @@ def _ground_masks(net: RoadNetwork, ego_pos: jnp.ndarray, gxy: jnp.ndarray):
     return road, marking, sidewalk
 
 
+def _hash2(p: jnp.ndarray, cell: float) -> jnp.ndarray:
+    """Per-cell value noise in [0,1): hash of the quantized world-space point.
+    Deterministic in world coordinates, so it behaves like real ground texture
+    under ego motion (parallax-consistent)."""
+    q = jnp.floor(p / cell)
+    v = jnp.sin(q[..., 0] * 12.9898 + q[..., 1] * 78.233) * 43758.5453
+    return v - jnp.floor(v)
+
+
 def _ray_obb(o, d, center_xy, yaw, half_l, half_w, height):
     """Ray vs vertical oriented box. o [3], d [N,3]; box params scalars or [V].
 
@@ -261,6 +270,14 @@ def render_frame(
     g = _GRASS
     g = g * (1 - sidewalk[:, None]) + _SIDEWALK * sidewalk[:, None]
     g = g * (1 - road[:, None]) + road_c * road[:, None]
+    # World-anchored surface grain (two-scale value noise on the ground hit
+    # point). CARLA's textured world gives the policy dense parallax cues for
+    # its position/phase along the road; a flat-shaded ground starves it of
+    # exactly the longitudinal signal that aligns turn-phase labels (steer and
+    # speed-plateau transitions). Pure elementwise math — no gathers.
+    tex = 0.6 * _hash2(gxy, 1.7) + 0.4 * _hash2(gxy, 0.45) - 0.5
+    amp = 0.035 * road + 0.05 * (1.0 - road)  # additive: visible on dark asphalt
+    g = jnp.clip(g + (amp * tex)[:, None], 0.0, 1.0)
     g = g * (1 - marking[:, None]) + _MARKING * marking[:, None]
     ground_color = g
 

@@ -91,21 +91,25 @@ def write_chunk(buf: ReplayBuffer, frames, speed_kmh, command, controls, moving)
     )
 
 
-def freeze_val_slice(buf: ReplayBuffer, size: int):
-    """Snapshot the freshest `size` frames as a held-out validation set and
-    mark those buffer entries invalid so train sampling never sees them again
-    (the ring overwrites them with new data in due course). Returns
-    (buf', val_set)."""
+def snapshot_val_slice(buf: ReplayBuffer, size: int):
+    """Snapshot the freshest `size` frames of a ring as a validation set."""
     N = buf.images.shape[0]
     idx = (buf.cursor - size + jnp.arange(size)) % N
-    val_set = {
+    return {
         "images": buf.images[idx],
         "speed": buf.speed[idx],
         "command": buf.command[idx],
         "controls": buf.controls[idx],
         "valid": buf.valid[idx],
     }
-    return buf.replace(valid=buf.valid.at[idx].set(False)), val_set
+
+
+def freeze_val_slice(buf: ReplayBuffer, size: int):
+    """snapshot_val_slice + mark those entries invalid in the ring (for when
+    the val slice is carved out of the training stream). Returns (buf', val)."""
+    N = buf.images.shape[0]
+    idx = (buf.cursor - size + jnp.arange(size)) % N
+    return buf.replace(valid=buf.valid.at[idx].set(False)), snapshot_val_slice(buf, size)
 
 
 def sample_batch(buf: ReplayBuffer, key: jnp.ndarray, batch: int):
@@ -242,6 +246,30 @@ def fused_collect_train(
     pool_stack: RoutePool = jax.tree.map(lambda *xs: jnp.stack(xs), *pools)
     fleet = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
+    # Independent validation stream: a SECOND fleet (disjoint seed + routes,
+    # same shapes so it reuses the compiled collect kernel) fills its own small
+    # ring and is then discarded. Holding out a slice of the train stream's
+    # warmup instead is subtly wrong twice over: the warmup distribution is a
+    # young synchronized fleet (unrepresentative), and the early "holdout"
+    # numbers track train-set frames until the ring recycles them.
+    vrng = np.random.RandomState(seed + 10_000)
+    vpools, vstates = [], []
+    for e in range(num_envs):
+        pool, meta = chained_route_pool(net, vrng, num_routes=4, min_dist=60.0,
+                                        max_dist=280.0, with_meta=True)
+        world = spawn_world(net, num_vehicles, num_pedestrians, vrng,
+                            weather_idx=e % 5, seed=seed + 10_000 + e)
+        start_wp = meta["start_wps"][0]
+        world = world.replace(
+            veh_pos=world.veh_pos.at[0].set(jnp.asarray(hn.wp_xy[start_wp])),
+            veh_yaw=world.veh_yaw.at[0].set(float(hn.wp_yaw[start_wp])),
+            rng=jax.random.PRNGKey(seed * 1013 + e + 7),
+        )
+        vpools.append(pool)
+        vstates.append(make_driver_state(world))
+    vpool_stack: RoutePool = jax.tree.map(lambda *xs: jnp.stack(xs), *vpools)
+    vfleet = jax.tree.map(lambda *xs: jnp.stack(xs), *vstates)
+
     buf = make_buffer(buffer_frames, cam.height, cam.width)
     tstate = create_train_state(
         cfg, jax.random.PRNGKey(seed),
@@ -253,13 +281,16 @@ def fused_collect_train(
     # gradient noise makes the raw-iterate holdout loss swing by +-0.02 between
     # evals; the EMA iterate is both steadier and measurably better.
     # (jnp.copy: tstate is DONATED into the first train_chunk, which would
-    # invalidate an aliased initial EMA tree.)
-    ema_params = jax.tree.map(jnp.copy, tstate.params)
+    # invalidate an aliased initial EMA tree.) Params AND batch stats are
+    # averaged together: pairing averaged params with the latest BatchNorm
+    # running stats is inconsistent and measurably corrupts the eval.
+    ema = jax.tree.map(jnp.copy, {"params": tstate.params,
+                                  "batch_stats": tstate.batch_stats})
     ema_decay = 0.999 ** train_steps_per_chunk  # one EMA update per chunk
 
     @jax.jit
-    def ema_update(ema, params, d):
-        return jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema, params)
+    def ema_update(e, cur, d):
+        return jax.tree.map(lambda a, b: d * a + (1.0 - d) * b, e, cur)
 
     def _collect_body(fl, b, net_, pools_):
         def one(s, p):
@@ -336,13 +367,12 @@ def fused_collect_train(
         train_chunk = lambda ts, b, key, _net: train_chunk_sharded(ts, b, key)
 
         V_local_total = (min(4096, buffer_frames // 4) // (B * n_dev)) * B
-        freeze_fn = jax.jit(
+        snapshot_fn = jax.jit(
             shard_map_compat(
-                functools.partial(freeze_val_slice, size=max(V_local_total, B)),
+                functools.partial(snapshot_val_slice, size=max(V_local_total, B)),
                 mesh, in_specs=(bspecs,),
-                out_specs=(bspecs, {k: row for k in
-                                    ("images", "speed", "command", "controls",
-                                     "valid")}),
+                out_specs={k: row for k in
+                           ("images", "speed", "command", "controls", "valid")},
             )
         )
 
@@ -359,6 +389,9 @@ def fused_collect_train(
         pool_stack = shard_tree(pool_stack, row)
         buf = shard_tree(buf, bspecs)
         tstate = shard_tree(tstate, rep)
+        vfleet = shard_tree(vfleet, row)
+        vpool_stack = shard_tree(vpool_stack, row)
+        shard_buf = lambda b: shard_tree(b, bspecs)
     else:
         collect_chunk = jax.jit(_collect_body, donate_argnums=(0, 1))
         train_step = weighted_train_step(cfg)
@@ -367,17 +400,18 @@ def fused_collect_train(
         def train_chunk(ts, b, key, net_unused):
             return _train_body(ts, b, key, train_step, B)
 
-        freeze_fn = None
+        snapshot_fn = None
+        shard_buf = lambda b: b
 
     @jax.jit
-    def eval_loss(ts, eparams, val):
+    def eval_loss(ts, ema_, val):
         """Loss over the frozen validation slice (masked by validity), with the
-        EMA params. Returns [5]: total, and the weighted steer/throttle/brake/
-        speed terms — the breakdown shows where residual loss lives."""
+        EMA params+stats. Returns [5]: total, and the weighted steer/throttle/
+        brake/speed terms — the breakdown shows where residual loss lives."""
         def body(carry, sl):
             x = normalize(sl["images"].astype(jnp.float32) / 255.0)
             controls, pred_speed = ts.apply_fn(
-                {"params": eparams, "batch_stats": ts.batch_stats},
+                {"params": ema_["params"], "batch_stats": ema_["batch_stats"]},
                 x, sl["speed"], sl["command"], train=False,
             )
             l1 = jnp.abs(controls - sl["controls"])
@@ -408,14 +442,22 @@ def fused_collect_train(
         print(f"  warmup: {frames0} frames in {time.time()-t0:.1f}s "
               f"({frames0/max(time.time()-t0,1e-9):,.0f} frames/s)", flush=True)
 
-    # Held-out validation slice: the freshest V warmup frames, snapshotted and
-    # excluded from train sampling (freeze_val_slice marks them invalid; the
-    # ring later refills those slots with new frames).
-    if freeze_fn is not None:
-        buf, val_set = freeze_fn(buf)
+    # Held-out validation: mature the INDEPENDENT val fleet (same compiled
+    # collect kernel — identical shapes), then snapshot the freshest V frames
+    # of its private ring. Training never touches this stream, and the frames
+    # reflect a mature mixed-traffic fleet, not the synchronized warmup.
+    V = (min(4096, buffer_frames // 4) // B) * B
+    vbuf = shard_buf(make_buffer(buffer_frames, cam.height, cam.width))
+    val_chunks = max(warmup_chunks,
+                     (2 * V) // max(num_envs * collect_ticks, 1) + 1)
+    for _ in range(val_chunks):
+        vfleet, vbuf = collect_chunk(vfleet, vbuf, net, vpool_stack)
+    if snapshot_fn is not None:
+        val_set = snapshot_fn(vbuf)
     else:
-        V = (min(4096, buffer_frames // 4) // B) * B
-        buf, val_set = jax.jit(functools.partial(freeze_val_slice, size=V))(buf)
+        val_set = jax.jit(functools.partial(snapshot_val_slice, size=V))(vbuf)
+    val_set = jax.tree.map(lambda x: x.block_until_ready(), val_set)
+    del vbuf, vfleet  # free the 3-ish GB val ring before training starts
 
     steps_done = 0
     t1 = time.time()
@@ -427,15 +469,20 @@ def fused_collect_train(
         # init quickly instead of carrying its bias for ~1/(1-d) chunks.
         n_chunk = steps_done // train_steps_per_chunk + 1
         d = min(ema_decay, (1.0 + n_chunk) / (10.0 + n_chunk))
-        ema_params = ema_update(ema_params, tstate.params, d)
+        ema = ema_update(ema, {"params": tstate.params,
+                               "batch_stats": tstate.batch_stats}, d)
         steps_done += train_steps_per_chunk
         if steps_done % eval_every < train_steps_per_chunk:
-            terms = np.asarray(eval_loss(tstate, ema_params, val_set))
+            terms = np.asarray(eval_loss(tstate, ema, val_set))
+            raw = np.asarray(eval_loss(
+                tstate, {"params": tstate.params,
+                         "batch_stats": tstate.batch_stats}, val_set))
             vl = float(terms[0])
             history.append({
                 "step": steps_done, "val_loss": vl,
                 "val_steer": float(terms[1]), "val_throttle": float(terms[2]),
                 "val_brake": float(terms[3]), "val_speed": float(terms[4]),
+                "raw_val_loss": float(raw[0]), "raw_val_steer": float(raw[1]),
                 "frames": int(buf.total_written),
                 "time_s": time.time() - t1,
             })
@@ -444,13 +491,14 @@ def fused_collect_train(
                 print(f"  step {steps_done}: holdout loss {vl:.4f} "
                       f"[st {terms[1]:.3f} th {terms[2]:.3f} "
                       f"br {terms[3]:.3f} sp {terms[4]:.3f}] "
+                      f"raw {raw[0]:.4f} [st {raw[1]:.3f}] "
                       f"(train {float(loss):.4f}, "
                       f"{int(buf.total_written):,} frames seen, {time.time()-t1:.0f}s)",
                       flush=True)
 
     wall = time.time() - t1
     # Deploy the EMA iterate: it is what the holdout numbers were measured on.
-    tstate = tstate.replace(params=ema_params)
+    tstate = tstate.replace(params=ema["params"], batch_stats=ema["batch_stats"])
     return {
         "state": tstate,
         "history": history,

@@ -84,7 +84,8 @@ def create_train_state(
     total_steps: int | None = None,
 ) -> CILRSTrainState:
     model = CILRS(num_commands=cfg.model.num_commands, dropout=cfg.model.dropout,
-                  stage_sizes=tuple(cfg.model.stage_sizes))
+                  stage_sizes=tuple(cfg.model.stage_sizes),
+                  speed_skip=cfg.model.speed_skip)
     H, W = cfg.model.image_height, cfg.model.image_width
     variables = model.init(
         rng,

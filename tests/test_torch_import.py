@@ -112,7 +112,7 @@ def test_torch_checkpoint_roundtrip(tmp_path):
             torch.from_numpy(speed), torch.from_numpy(cmd.astype(np.int64)),
         )
 
-    model = CILRS(dropout=0.0, dtype=jnp.float32)
+    model = CILRS(dropout=0.0, dtype=jnp.float32, speed_skip=False)
     f_controls, f_pred = model.apply(
         variables, jnp.asarray(img), jnp.asarray(speed), jnp.asarray(cmd),
         train=False,
@@ -136,7 +136,7 @@ def test_torchvision_trunk_graft():
     from cilrs_tpu.models import CILRS
     from cilrs_tpu.models.torch_import import init_trunk_from_torchvision
 
-    model = CILRS(dropout=0.0)
+    model = CILRS(dropout=0.0, speed_skip=False)
     variables = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 88, 200, 3)), jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
@@ -189,7 +189,7 @@ def test_torchvision_trunk_graft():
     np.testing.assert_allclose(
         np.asarray(p2["speed_fc1"]["kernel"]), np.asarray(params["speed_fc1"]["kernel"]))
     # Grafted model still runs.
-    out, _ = CILRS(dropout=0.0).apply(
+    out, _ = CILRS(dropout=0.0, speed_skip=False).apply(
         {"params": p2, "batch_stats": s2},
         jnp.zeros((2, 88, 200, 3)), jnp.zeros((2,)), jnp.zeros((2,), jnp.int32),
         train=False,
