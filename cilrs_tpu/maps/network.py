@@ -84,6 +84,15 @@ class RoadNetwork:
     tex_origin: jnp.ndarray  # [2] world xy of texel (0, 0)
     tex_scale: jnp.ndarray  # scalar meters per texel
 
+    # Procedural buildings lining the roads (CARLA Town01 is a built-up town;
+    # they double as the orientation landmarks the policy needs mid-turn when
+    # the road itself leaves the camera FOV). Padded entries have height 0 and
+    # a far-away center.
+    bldg_xy: jnp.ndarray  # [Bg, 2] f32
+    bldg_yaw: jnp.ndarray  # [Bg] f32
+    bldg_half: jnp.ndarray  # [Bg, 2] f32 — (half_l, half_w)
+    bldg_h: jnp.ndarray  # [Bg] f32 — height, 0 for padding
+
     host: HostCache = struct.field(pytree_node=False, default=None)
 
     @property
@@ -324,6 +333,7 @@ def build_network(
     light_wp = np.asarray(lwp, np.int32)
 
     texture, origin = _rasterize_texture(xy, yaw, junc, tex_scale)
+    bxy, byaw, bhalf, bh = _generate_buildings(xy, yaw, junc)
 
     host = HostCache(
         wp_xy=xy, wp_yaw=yaw, wp_next=nxt, wp_num_next=num_next, wp_prev=prev,
@@ -350,8 +360,67 @@ def build_network(
         texture=jnp.asarray(texture),
         tex_origin=jnp.asarray(origin, jnp.float32),
         tex_scale=jnp.asarray(tex_scale, jnp.float32),
+        bldg_xy=jnp.asarray(bxy),
+        bldg_yaw=jnp.asarray(byaw),
+        bldg_half=jnp.asarray(bhalf),
+        bldg_h=jnp.asarray(bh),
         host=host,
     )
+
+
+def _generate_buildings(xy: np.ndarray, yaw: np.ndarray, junc: np.ndarray,
+                        max_count: int = 320):
+    """Deterministic building lots along both road sides (host, numpy).
+
+    Candidates every ~7 waypoints, offset 10-16 m laterally, sized/heighted by
+    a position hash; kept only if clear of every lane centerline and of other
+    buildings. Padded to max_count with height-0 far-away entries."""
+
+    def h01(a, b):
+        return (np.sin(a * 12.9898 + b * 78.233) * 43758.5453) % 1.0
+
+    keep_xy, keep_yaw, keep_half, keep_h = [], [], [], []
+    for w in range(0, len(xy), 7):
+        if junc[w]:
+            continue
+        hx, hy = np.cos(yaw[w]), np.sin(yaw[w])
+        for side in (-1.0, 1.0):
+            r = h01(xy[w, 0] * side, xy[w, 1])
+            off = 10.0 + 6.0 * r
+            cx = xy[w, 0] - hy * off * side
+            cy = xy[w, 1] + hx * off * side
+            half = np.array([3.0 + 4.0 * h01(cx, cy), 3.0 + 4.0 * h01(cy, cx)],
+                            np.float32)
+            # Clear of all lanes (center must be road-half + diag away)...
+            d = np.min(np.hypot(xy[:, 0] - cx, xy[:, 1] - cy))
+            if d < float(np.hypot(half[0], half[1])) + 5.5:
+                continue
+            # ...and of previously accepted buildings.
+            ok = True
+            for (px, py), ph in zip(keep_xy, keep_half):
+                if np.hypot(px - cx, py - cy) < float(
+                        np.hypot(*half) + np.hypot(*ph)) + 1.0:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            keep_xy.append((cx, cy))
+            keep_yaw.append(yaw[w])
+            keep_half.append(half)
+            keep_h.append(4.0 + 6.0 * h01(cx + 1.0, cy - 1.0))
+            if len(keep_xy) >= max_count:
+                break
+        if len(keep_xy) >= max_count:
+            break
+    n = len(keep_xy)
+    pad = max_count - n
+    bxy = np.concatenate([np.asarray(keep_xy, np.float32).reshape(n, 2),
+                          np.full((pad, 2), 1e6, np.float32)])
+    byaw = np.concatenate([np.asarray(keep_yaw, np.float32), np.zeros(pad, np.float32)])
+    bhalf = np.concatenate([np.asarray(keep_half, np.float32).reshape(n, 2),
+                            np.ones((pad, 2), np.float32)])
+    bh = np.concatenate([np.asarray(keep_h, np.float32), np.zeros(pad, np.float32)])
+    return bxy, byaw, bhalf, bh
 
 
 def _rasterize_texture(xy: np.ndarray, yaw: np.ndarray, junc: np.ndarray, scale: float):

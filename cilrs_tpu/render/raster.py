@@ -36,7 +36,20 @@ PED_HEIGHT = 1.8
 LIGHT_POLE_H = 5.2
 LIGHT_HEAD_R = 0.5
 NUM_NEAR_LIGHTS = 8
+NUM_NEAR_BUILDINGS = 16
+
 INF = 1e9
+
+# Muted facade palette (index-hashed per building).
+_BLDG_COLORS = jnp.array([
+    [0.58, 0.52, 0.45],
+    [0.63, 0.58, 0.50],
+    [0.48, 0.42, 0.38],
+    [0.66, 0.60, 0.55],
+    [0.55, 0.48, 0.40],
+    [0.70, 0.64, 0.52],
+    [0.52, 0.50, 0.46],
+], jnp.float32)
 
 # Small palette so NPC vehicles are visually distinct, like CARLA's blueprints.
 _VEH_COLORS = jnp.array([
@@ -310,6 +323,27 @@ def render_frame(
         t_v = jnp.full((N,), INF)
         v_color = jnp.zeros((N, 3))
 
+    # --- buildings (K nearest, static landmarks) ---
+    Bg = net.bldg_xy.shape[0]
+    if Bg > 0:
+        KB = min(NUM_NEAR_BUILDINGS, Bg)
+        d2b = jnp.sum((net.bldg_xy - world.ego_pos) ** 2, axis=-1)
+        _, nearb = jax.lax.top_k(-d2b, KB)  # per-frame cull (small gather)
+        t_bldg, shade_b = _ray_obb(
+            o_rel, rays, net.bldg_xy[nearb] - o[:2], net.bldg_yaw[nearb],
+            net.bldg_half[nearb, 0], net.bldg_half[nearb, 1], net.bldg_h[nearb],
+        )
+        t_b = jnp.min(t_bldg, axis=1)
+        is_min_b = (t_bldg <= t_b[:, None] + 1e-3) & (t_bldg < INF)
+        norm_b = jnp.maximum(jnp.sum(is_min_b, axis=1, keepdims=True), 1)
+        w_b = is_min_b.astype(jnp.float32) / norm_b
+        bpal = _BLDG_COLORS[nearb % _BLDG_COLORS.shape[0]]  # [KB,3]
+        sh_b = jnp.sum(w_b * shade_b, axis=1)
+        b_color = (w_b @ bpal) * sh_b[:, None]
+    else:
+        t_b = jnp.full((N,), INF)
+        b_color = jnp.zeros((N, 3))
+
     # --- pedestrians ---
     ped_rel = world.ped_pos - o[:2]
     t_ped_all = _ray_cylinder(o_rel, rays, ped_rel, PED_RADIUS, PED_HEIGHT)
@@ -350,6 +384,7 @@ def render_frame(
     surf = ground_color
     emissive = jnp.zeros((N,), bool)
     for t_layer, c_layer, em in (
+        (t_b, b_color, False),
         (t_v, v_color, False),
         (t_p, jnp.broadcast_to(_PED_COLOR, (N, 3)), False),
         (t_pole_min, jnp.broadcast_to(_POLE, (N, 3)), False),

@@ -122,23 +122,7 @@ def test_multi_env_event_divergence(mini_town):
         float(solo_final.metrics.total_distance), d[0], rtol=1e-5)
 
 
-GOLDEN = np.array([
-    [0.6130, 0.7585, 0.9634, 0.5784, 0.7377, 0.9597, 0.5791, 0.7381, 0.9606,
-     0.6134, 0.7590, 0.9649, 0.3649, 0.3848, 0.3592, 0.2896, 0.2972, 0.2954,
-     0.2705, 0.2821, 0.2732, 0.3357, 0.3687, 0.3171],
-    [0.5265, 0.5711, 0.6299, 0.5103, 0.5566, 0.6196, 0.5117, 0.5575, 0.6205,
-     0.5275, 0.5719, 0.6313, 0.2820, 0.2957, 0.2803, 0.2159, 0.2217, 0.2224,
-     0.2051, 0.2133, 0.2097, 0.2689, 0.2916, 0.2581],
-    [0.7491, 0.7641, 0.7785, 0.7388, 0.7555, 0.7710, 0.7391, 0.7555, 0.7712,
-     0.7495, 0.7646, 0.7796, 0.4410, 0.4489, 0.4404, 0.3647, 0.3679, 0.3721,
-     0.3511, 0.3558, 0.3573, 0.4197, 0.4346, 0.4112],
-    [0.0356, 0.0456, 0.0999, 0.0319, 0.0426, 0.0958, 0.0319, 0.0422, 0.0958,
-     0.0349, 0.0449, 0.0998, 0.0872, 0.0915, 0.0921, 0.1194, 0.1215, 0.1304,
-     0.1126, 0.1155, 0.1229, 0.0794, 0.0867, 0.0813],
-    [0.3675, 0.3968, 0.4452, 0.3536, 0.3838, 0.4323, 0.3573, 0.3869, 0.4353,
-     0.3704, 0.3996, 0.4482, 0.2375, 0.2479, 0.2484, 0.1835, 0.1895, 0.1977,
-     0.1779, 0.1851, 0.1912, 0.2304, 0.2462, 0.2357],
-]).reshape(5, 2, 4, 3)
+GOLDEN = np.array([[[[0.5329999923706055, 0.6428999900817871, 0.7998999953269958], [0.52920001745224, 0.6780999898910522, 0.8751999735832214], [0.5303000211715698, 0.67330002784729, 0.8615999817848206], [0.5582000017166138, 0.6703000068664551, 0.8269000053405762]], [[0.37310001254081726, 0.3747999966144562, 0.3571000099182129], [0.2849999964237213, 0.28859999775886536, 0.28850001096725464], [0.2741999924182892, 0.28220000863075256, 0.27459999918937683], [0.3384999930858612, 0.366100013256073, 0.3151000142097473]]], [[[0.46889999508857727, 0.4975000023841858, 0.5389000177383423], [0.48080000281333923, 0.5263000130653381, 0.5787000060081482], [0.47839999198913574, 0.5209000110626221, 0.5698999762535095], [0.4887999892234802, 0.5203999876976013, 0.5626000165939331]], [[0.2825999855995178, 0.2856000065803528, 0.27459999918937683], [0.21119999885559082, 0.2152000069618225, 0.21639999747276306], [0.20669999718666077, 0.21310000121593475, 0.20999999344348907], [0.26930001378059387, 0.2892000079154968, 0.25609999895095825]]], [[[0.6995000243186951, 0.7085999846458435, 0.7170000076293945], [0.7240999937057495, 0.7447999715805054, 0.7545999884605408], [0.7171000242233276, 0.7355999946594238, 0.7450000047683716], [0.724399983882904, 0.7358999848365784, 0.7461000084877014]], [[0.4309000074863434, 0.4336000084877014, 0.42649999260902405], [0.3603000044822693, 0.36320000886917114, 0.36739999055862427], [0.3517000079154968, 0.35580000281333923, 0.35740000009536743], [0.41780000925064087, 0.4318999946117401, 0.4083999991416931]]], [[[0.0471000000834465, 0.052799999713897705, 0.09290000051259995], [0.03519999980926514, 0.04960000142455101, 0.09279999881982803], [0.03799999877810478, 0.050599999725818634, 0.09269999712705612], [0.04749999940395355, 0.05420000106096268, 0.09690000116825104]], [[0.09200000017881393, 0.09290000051259995, 0.0934000015258789], [0.11829999834299088, 0.11990000307559967, 0.12849999964237213], [0.11559999734163284, 0.11800000071525574, 0.1251000016927719], [0.08160000294446945, 0.08799999952316284, 0.08209999650716782]]], [[[0.34220001101493835, 0.3634999990463257, 0.40070000290870667], [0.3443000018596649, 0.3774000108242035, 0.4185999929904938], [0.3456000089645386, 0.37619999051094055, 0.4156000018119812], [0.3589000105857849, 0.38269999623298645, 0.4226999878883362]], [[0.23489999771118164, 0.2401999980211258, 0.24079999327659607], [0.18070000410079956, 0.18619999289512634, 0.19419999420642853], [0.17919999361038208, 0.18569999933242798, 0.1915999948978424], [0.23010000586509705, 0.24490000307559967, 0.2337999939918518]]]])
 
 
 def test_weather_shader_golden(mini_town):
