@@ -37,12 +37,17 @@ def main(argv=None):
         tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
     cfg = dataclasses.replace(cfg, training=tcfg)
 
+    import time
+
     print(f"Loading sessions: {args.data}")
+    t0 = time.time()
     ds = load_sessions(args.data)
-    print(f"  {len(ds)} frames")
+    print(f"  {len(ds)} frames (loaded in {time.time()-t0:.0f}s)")
+    t1 = time.time()
     out = train(ds, cfg, ckpt_dir=args.ckpt_dir, resume=args.resume,
                 pretrained_backbone=args.pretrained_backbone)
-    print(f"\nBest val loss: {out['best_val_loss']:.4f}")
+    print(f"\nBest val loss: {out['best_val_loss']:.4f} "
+          f"(train wall {time.time()-t1:.0f}s)")
     return out
 
 

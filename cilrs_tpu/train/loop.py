@@ -10,6 +10,7 @@ mesh's data axis; the model replicates.
 from __future__ import annotations
 
 import csv
+import functools
 import os
 import time
 
@@ -35,6 +36,33 @@ def _device_batch(ds: DriveDataset, idx: np.ndarray, sharding=None):
     if sharding is not None:
         batch = jax.device_put(batch, sharding)
     return batch
+
+
+def _prefetch(it, make, depth: int = 3):
+    """Run `make(item)` for each item of `it` on a worker thread, keeping up to
+    `depth` results queued. jax.device_put is async, so the host gather + H2D
+    overlap with the device's current train step — without this the loop is
+    host-bound (one synchronous 6 MB gather+transfer per step)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    STOP = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(make(item))
+        finally:
+            q.put(STOP)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        out = q.get()
+        if out is STOP:
+            break
+        yield out
 
 
 def train(
@@ -78,8 +106,36 @@ def train(
         if verbose and start_epoch:
             print(f"  resumed from epoch {start_epoch} (val {best_val:.4f})")
 
-    train_step = jax.jit(make_train_step(cfg), donate_argnums=0)
-    eval_step = jax.jit(make_eval_step(cfg))
+    base_train_step = make_train_step(cfg)
+    base_eval_step = make_eval_step(cfg)
+
+    # Device-resident dataset: with one accelerator and a one-core host, the
+    # per-step host gather + H2D is the bottleneck (observed 163 ms/step vs
+    # ~25 ms of compute). If the frames fit in HBM, ship them ONCE and gather
+    # each batch inside the jitted step — same design as the fused loop's
+    # on-device ring buffer. Falls back to host batching on multi-device
+    # meshes (the batch then shards over the data axis instead).
+    dev_resident = (n_dev == 1 and ds.images.nbytes < 11e9)
+    if dev_resident:
+        dev_ds = {
+            "images": jax.device_put(ds.images),
+            "speed": jax.device_put(ds.speed_norm),
+            "command": jax.device_put(ds.command),
+            "controls": jax.device_put(ds.controls),
+        }
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def train_step(state, idx, rng):
+            batch = {k: v[idx] for k, v in dev_ds.items()}
+            return base_train_step(state, batch, rng)
+
+        @jax.jit
+        def eval_step(state, idx):
+            batch = {k: v[idx] for k, v in dev_ds.items()}
+            return base_eval_step(state, batch)
+    else:
+        train_step = jax.jit(base_train_step, donate_argnums=0)
+        eval_step = jax.jit(base_eval_step)
 
     sampler = WeightedBatchSampler(ds.command[train_idx], B, cfg.training.seed)
     rng = jax.random.PRNGKey(cfg.training.seed + 1)
@@ -89,10 +145,17 @@ def train(
     for epoch in range(start_epoch, cfg.training.epochs):
         t0 = time.time()
         train_losses = []
-        for it in sampler.epoch(spe):
-            batch = _device_batch(ds, train_idx[it], bspec)
-            state, parts = train_step(state, batch, rng)
-            train_losses.append(parts["loss"])
+        if dev_resident:
+            for it in sampler.epoch(spe):
+                state, parts = train_step(state, jnp.asarray(train_idx[it]), rng)
+                train_losses.append(parts["loss"])
+        else:
+            batches = _prefetch(
+                sampler.epoch(spe),
+                lambda it: _device_batch(ds, train_idx[it], bspec))
+            for batch in batches:
+                state, parts = train_step(state, batch, rng)
+                train_losses.append(parts["loss"])
         train_loss = float(np.mean([float(l) for l in train_losses]))
 
         # Validation (full pass, fixed order). When the val split is smaller
@@ -102,9 +165,12 @@ def train(
             val_iter = [np.resize(val_idx, B)]
         else:
             val_iter = [val_idx[s : s + B] for s in range(0, len(val_idx) - B + 1, B)]
-        for vidx in val_iter:
-            batch = _device_batch(ds, vidx, bspec)
-            parts = eval_step(state, batch)
+        if dev_resident:
+            val_parts = (eval_step(state, jnp.asarray(vidx)) for vidx in val_iter)
+        else:
+            val_parts = (eval_step(state, b) for b in _prefetch(
+                val_iter, lambda vidx: _device_batch(ds, vidx, bspec)))
+        for parts in val_parts:
             val_losses.append(float(parts["loss"]))
             err_sum += np.asarray(parts["cmd_steer_err_sum"])
             cnt += np.asarray(parts["cmd_count"])
