@@ -59,11 +59,12 @@ def make_optimizer(
     quality (not per-epoch parity) is what matters."""
     if schedule == "cosine":
         assert total_steps is not None
+        warmup = min(max(total_steps // 50, 10), max(total_steps // 2, 1))
         sched = optax.warmup_cosine_decay_schedule(
             init_value=cfg.learning_rate * 0.05,
             peak_value=cfg.learning_rate,
-            warmup_steps=min(max(total_steps // 50, 10), max(total_steps // 2, 1)),
-            decay_steps=total_steps,
+            warmup_steps=warmup,
+            decay_steps=max(total_steps, warmup + 1),
             end_value=cfg.learning_rate * 0.01,
         )
     else:
