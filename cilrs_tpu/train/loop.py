@@ -115,7 +115,10 @@ def train(
     # each batch inside the jitted step — same design as the fused loop's
     # on-device ring buffer. Falls back to host batching on multi-device
     # meshes (the batch then shards over the data axis instead).
-    dev_resident = (n_dev == 1 and ds.images.nbytes < 11e9)
+    # 6 GB cap: the resident array must leave room for the training program
+    # (a 10.7 GB dataset OOMed a 15.75 GB chip once TPU tile padding and a
+    # gather-layout copy were added). Larger datasets use host batching.
+    dev_resident = (n_dev == 1 and ds.images.nbytes < 6e9)
     if dev_resident:
         dev_ds = {
             "images": jax.device_put(ds.images),
@@ -124,15 +127,22 @@ def train(
             "controls": jax.device_put(ds.controls),
         }
 
+        # dev_ds is passed as a jit ARGUMENT, never closed over: captured
+        # arrays become jaxpr constants and the whole dataset would be
+        # re-shipped with the compiled program (see load_policy's docstring
+        # for the same footgun with the 22M-param pytree).
         @functools.partial(jax.jit, donate_argnums=0)
-        def train_step(state, idx, rng):
-            batch = {k: v[idx] for k, v in dev_ds.items()}
+        def _train_step_dev(state, dds, idx, rng):
+            batch = {k: v[idx] for k, v in dds.items()}
             return base_train_step(state, batch, rng)
 
         @jax.jit
-        def eval_step(state, idx):
-            batch = {k: v[idx] for k, v in dev_ds.items()}
+        def _eval_step_dev(state, dds, idx):
+            batch = {k: v[idx] for k, v in dds.items()}
             return base_eval_step(state, batch)
+
+        train_step = lambda state, idx, rng: _train_step_dev(state, dev_ds, idx, rng)
+        eval_step = lambda state, idx: _eval_step_dev(state, dev_ds, idx)
     else:
         train_step = jax.jit(base_train_step, donate_argnums=0)
         eval_step = jax.jit(base_eval_step)
