@@ -61,20 +61,41 @@ def autopilot_controls(
     """Returns (steer, throttle, brake) in the same ranges the model learns."""
     last = route.length - 1
 
-    # Pure pursuit on a QUANTIZED waypoint target (integer lookahead on the
-    # 2 m route grid). A/B against fractional-interpolated targets showed the
-    # quantized labels clone markedly better (steer holdout 0.039 vs 0.06+):
-    # a piecewise-constant target is insensitive to the fine longitudinal
-    # position the image can't resolve, the same plateau principle as the
-    # throttle law below. Fractional localization is still used for the speed
-    # plateaus (it keeps the bend lookahead from jumping a full waypoint).
-    s = _localize_continuous(route, route_idx, pos)
-    lookahead = (2.0 + speed_kmh * 0.08).astype(jnp.int32)
+    # Steering = curvature FEEDFORWARD + small pure-pursuit correction.
+    # On an arc the kinematically exact steer is CONSTANT (bicycle model:
+    # delta = atan(L*kappa)), so the feedforward turns junction arcs into
+    # near-plateau steer labels — the same label-flatness that lets the
+    # reference clone CARLA's lateral-PID turns to MAE 0.004 (its PID holds a
+    # steady wheel angle through the arc). A pure-pursuit-only law ramps the
+    # steer continuously with tracking error, which an 88x200 frame cannot
+    # resolve precisely; the ramp shows up directly as steer label loss.
+    s = jnp.clip(_localize_continuous(route, route_idx, pos), 0.0,
+                 last.astype(jnp.float32))
+    i = jnp.floor(s).astype(jnp.int32)
+    frac = s - i.astype(jnp.float32)
+
+    def _kappa_at(j):
+        # Yaw difference across a 2-wp (4 m) window of the 2 m grid, with a
+        # deadband so straight segments give EXACTLY zero (flat label).
+        y0 = route.yaw[jnp.minimum(j + 1, last)]
+        y1 = route.yaw[jnp.minimum(j + 4, last)]
+        k = wrap_angle(y1 - y0) / 6.0
+        return jnp.where(jnp.abs(k) < 0.015, 0.0, k)
+
+    # Interpolated along the fractional route position: integer sampling makes
+    # the feedforward flicker each time the nearest waypoint advances.
+    kappa = _kappa_at(i) * (1.0 - frac) + _kappa_at(i + 1) * frac
+    WHEELBASE, MAX_STEER = 2.9, 0.6109  # core.state.default_vehicle_params
+    steer_ff = jnp.arctan(WHEELBASE * kappa) / MAX_STEER
+    lookahead = (3.0 + speed_kmh * 0.10).astype(jnp.int32)
     target = route.xy[jnp.minimum(route_idx + lookahead, last)]
     to_t = target - pos
     desired = jnp.arctan2(to_t[1], to_t[0])
     err = wrap_angle(desired - yaw)
-    steer = jnp.clip(err * 1.2, -1.0, 1.0)
+    # Correction gain kept LOW: the feedforward owns the arc; the pursuit term
+    # only bleeds off slow drift. High gains ring against the feedforward and
+    # put +-0.08 oscillation back into the turn labels.
+    steer = jnp.clip(steer_ff + err * 0.35, -1.0, 1.0)
 
     # Upcoming-turn awareness: drop to the 18 km/h intersection speed on a
     # SHARP bend threshold. Piecewise-CONSTANT targets are the point: the
