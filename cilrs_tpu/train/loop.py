@@ -109,40 +109,66 @@ def train(
     base_train_step = make_train_step(cfg)
     base_eval_step = make_eval_step(cfg)
 
-    # Device-resident dataset: with one accelerator and a one-core host, the
-    # per-step host gather + H2D is the bottleneck (observed 163 ms/step vs
-    # ~25 ms of compute). If the frames fit in HBM, ship them ONCE and gather
-    # each batch inside the jitted step — same design as the fused loop's
-    # on-device ring buffer. Falls back to host batching on multi-device
-    # meshes (the batch then shards over the data axis instead).
-    # 6 GB cap: the resident array must leave room for the training program
-    # (a 10.7 GB dataset OOMed a 15.75 GB chip once TPU tile padding and a
-    # gather-layout copy were added). Larger datasets use host batching.
-    dev_resident = (n_dev == 1 and ds.images.nbytes < 6e9)
+    # Device-resident dataset (single-accelerator path): per-step host
+    # batching is pathological here twice over: the one-core host + tunneled
+    # TPU make each 6 MB transfer cost ~180 ms (10x the step's compute), and
+    # the tunnel client leaks its transfer buffer (~9 GB host RSS per epoch,
+    # host-OOM on long runs). So the train split ships ONCE and batches gather
+    # inside the jitted step, like the fused loop's ring buffer:
+    #  - frames are stored FLAT [N, H*W*3] (the [N,88,200,3] layout's TPU tile
+    #    padding expanded a 10.7 GB array by ~1.3x and OOMed the chip);
+    #  - the resident train split is capped at ~5.5 GB (stratified subsample
+    #    beyond that) and epoch validation uses a resident subset; run the
+    #    full-split offline eval with cli/report afterwards.
+    # Multi-device meshes keep host batching with a prefetch thread (the batch
+    # shards over the data axis).
+    dev_resident = n_dev == 1
     if dev_resident:
-        dev_ds = {
-            "images": jax.device_put(ds.images),
-            "speed": jax.device_put(ds.speed_norm),
-            "command": jax.device_put(ds.command),
-            "controls": jax.device_put(ds.controls),
-        }
+        frame_bytes = int(np.prod(ds.images.shape[1:]))
+        cap_train = int(5.5e9 // frame_bytes)
+        cap_val = int(0.45e9 // frame_bytes)
+        rng_np = np.random.RandomState(cfg.training.seed + 5)
+        if len(train_idx) > cap_train:
+            sel = rng_np.choice(len(train_idx), cap_train, replace=False)
+            train_idx = train_idx[np.sort(sel)]
+            if verbose:
+                print(f"  resident train subset: {cap_train} frames (5.5 GB HBM cap)",
+                      flush=True)
+        val_res = (val_idx if len(val_idx) <= cap_val else
+                   val_idx[np.sort(rng_np.choice(len(val_idx), cap_val,
+                                                 replace=False))])
 
-        # dev_ds is passed as a jit ARGUMENT, never closed over: captured
-        # arrays become jaxpr constants and the whole dataset would be
-        # re-shipped with the compiled program (see load_policy's docstring
-        # for the same footgun with the 22M-param pytree).
+        def _ship(idx):
+            return {
+                "images": jax.device_put(
+                    np.ascontiguousarray(ds.images[idx]).reshape(len(idx), -1)),
+                "speed": jax.device_put(ds.speed_norm[idx]),
+                "command": jax.device_put(ds.command[idx]),
+                "controls": jax.device_put(ds.controls[idx]),
+            }
+
+        dev_train = _ship(train_idx)
+        dev_val = _ship(val_res)
+        img_shape = ds.images.shape[1:]
+
+        def _gather(dds, idx):
+            b = {k: v[idx] for k, v in dds.items()}
+            b["images"] = b["images"].reshape((idx.shape[0],) + img_shape)
+            return b
+
+        # dds is a jit ARGUMENT, never closed over: captured arrays become
+        # jaxpr constants and the whole dataset would be re-shipped with the
+        # compiled program (see load_policy's docstring for the same footgun).
         @functools.partial(jax.jit, donate_argnums=0)
         def _train_step_dev(state, dds, idx, rng):
-            batch = {k: v[idx] for k, v in dds.items()}
-            return base_train_step(state, batch, rng)
+            return base_train_step(state, _gather(dds, idx), rng)
 
         @jax.jit
         def _eval_step_dev(state, dds, idx):
-            batch = {k: v[idx] for k, v in dds.items()}
-            return base_eval_step(state, batch)
+            return base_eval_step(state, _gather(dds, idx))
 
-        train_step = lambda state, idx, rng: _train_step_dev(state, dev_ds, idx, rng)
-        eval_step = lambda state, idx: _eval_step_dev(state, dev_ds, idx)
+        train_step = lambda state, i, rng: _train_step_dev(state, dev_train, i, rng)
+        eval_step = lambda state, i: _eval_step_dev(state, dev_val, i)
     else:
         train_step = jax.jit(base_train_step, donate_argnums=0)
         eval_step = jax.jit(base_eval_step)
@@ -157,7 +183,9 @@ def train(
         train_losses = []
         if dev_resident:
             for it in sampler.epoch(spe):
-                state, parts = train_step(state, jnp.asarray(train_idx[it]), rng)
+                # `it` are LOCAL positions within train_idx — the resident
+                # arrays were shipped in that order.
+                state, parts = train_step(state, jnp.asarray(it), rng)
                 train_losses.append(parts["loss"])
         else:
             batches = _prefetch(
@@ -171,10 +199,11 @@ def train(
         # Validation (full pass, fixed order). When the val split is smaller
         # than one batch, wrap around so at least one (padded) batch runs.
         val_losses, err_sum, cnt = [], np.zeros(4), np.zeros(4)
-        if len(val_idx) < B:
-            val_iter = [np.resize(val_idx, B)]
+        vsrc = np.arange(len(val_res)) if dev_resident else val_idx
+        if len(vsrc) < B:
+            val_iter = [np.resize(vsrc, B)]
         else:
-            val_iter = [val_idx[s : s + B] for s in range(0, len(val_idx) - B + 1, B)]
+            val_iter = [vsrc[s : s + B] for s in range(0, len(vsrc) - B + 1, B)]
         if dev_resident:
             val_parts = (eval_step(state, jnp.asarray(vidx)) for vidx in val_iter)
         else:
