@@ -31,6 +31,13 @@ def main():
 
     enable_compilation_cache()
 
+    # Multi-process init MUST precede any backend use (jax.devices() / jnp
+    # array creation): jax.distributed.initialize() raises once the backend
+    # exists. No-op for single-process runs.
+    from cilrs_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed()
+
     from cilrs_tpu.agent.driver import fleet_rollout, make_driver_state
     from cilrs_tpu.agent.scenario import spawn_world
     from cilrs_tpu.config import TrainConfig, ModelConfig, load_weather_table
@@ -65,11 +72,9 @@ def main():
     n_dev = len(jax.devices())
     if n_dev > 1:
         # Auto-scale: shard the env fleet over every device (DP over ICI).
-        from cilrs_tpu.parallel.distributed import initialize_distributed
         from cilrs_tpu.parallel.fleet import make_sharded_rollout
         from cilrs_tpu.parallel.mesh import make_mesh
 
-        initialize_distributed()
         mesh = make_mesh()
         run = make_sharded_rollout(
             mesh, steps=T, wt=wt, params=params, apply_fn=apply_fn,

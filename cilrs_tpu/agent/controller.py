@@ -395,7 +395,7 @@ def safety_controller(
         waiting_for_traffic=waiting_for_traffic,
         traffic_wait_start=traffic_wait_start,
         obstacle_wait_start=obstacle_wait_start,
-        stopped_start=jnp.where(unstick | (speed_kmh >= 1.0), new_stopped_start, new_stopped_start),
+        stopped_start=new_stopped_start,
         ov_state=ov_state.astype(jnp.int32),
         ov_start=ov_start,
     )

@@ -92,23 +92,25 @@ def get_obstacle_distance(
     fwd = heading_vec(yaw)
     ego_vel = fwd * world.ego_speed
 
+    ts = jnp.asarray(horizons, jnp.float32)[:, None, None]  # [T,1,1]
+
     def corridor_min(actor_pos, actor_vel, alive) -> jnp.ndarray:
-        best = jnp.asarray(NO_OBSTACLE)
-        for t in horizons:
-            rel = (actor_pos + actor_vel * t) - (pos + ego_vel * t)  # [A,2]
-            dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-9)
-            dirn = rel / jnp.maximum(dist[:, None], 1e-6)
-            fdot = jnp.sum(dirn * fwd, axis=-1)
-            lateral = rel[:, 1] * fwd[0] - rel[:, 0] * fwd[1]  # cross(fwd, rel)
-            ok = (
-                alive
-                & (dist > cfg.min_detection_range_m)
-                & (dist <= cfg.max_detection_range_m)
-                & (fdot > cfg.forward_dot_threshold)
-                & (jnp.abs(lateral) <= cfg.lateral_threshold_m)
-            )
-            best = jnp.minimum(best, jnp.min(jnp.where(ok, dist, NO_OBSTACLE)))
-        return best
+        # All horizons stacked on a leading axis (one dense [T,A] pass instead
+        # of a Python loop re-emitting the corridor test T times).
+        rel = (actor_pos[None] + actor_vel[None] * ts) \
+            - (pos[None, None] + ego_vel[None, None] * ts)  # [T,A,2]
+        dist = jnp.sqrt(jnp.sum(rel * rel, axis=-1) + 1e-9)  # [T,A]
+        dirn = rel / jnp.maximum(dist[..., None], 1e-6)
+        fdot = jnp.sum(dirn * fwd, axis=-1)
+        lateral = rel[..., 1] * fwd[0] - rel[..., 0] * fwd[1]  # cross(fwd, rel)
+        ok = (
+            alive[None]
+            & (dist > cfg.min_detection_range_m)
+            & (dist <= cfg.max_detection_range_m)
+            & (fdot > cfg.forward_dot_threshold)
+            & (jnp.abs(lateral) <= cfg.lateral_threshold_m)
+        )
+        return jnp.min(jnp.where(ok, dist, NO_OBSTACLE))
 
     veh_vel = heading_vec(world.veh_yaw[1:]) * world.veh_speed[1:, None]
     ped_vel = heading_vec(world.ped_yaw) * world.ped_speed[:, None]

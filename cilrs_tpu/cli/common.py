@@ -50,11 +50,10 @@ def load_policy(checkpoint: str | None, cfg: TrainConfig | None = None):
     Accepts Orbax checkpoint dirs or reference torch .pth files
     (checkpoint_best.pth interop via models.torch_import).
     """
-    from cilrs_tpu.train.checkpoint import restore_best_params
+    from cilrs_tpu.train.checkpoint import payload_speed_skip, restore_best_payload
     from cilrs_tpu.train.state import create_train_state
 
     cfg = cfg or TrainConfig()
-    state = create_train_state(cfg, jax.random.PRNGKey(0))
     if checkpoint and checkpoint.endswith((".pth", ".pt")):
         from cilrs_tpu.models.cilrs import CILRS
         from cilrs_tpu.models.torch_import import load_reference_checkpoint
@@ -68,8 +67,21 @@ def load_policy(checkpoint: str | None, cfg: TrainConfig | None = None):
                        speed_skip=False)
         return parity.apply, variables
     if checkpoint:
-        state = restore_best_params(checkpoint, state)
-        print(f"  loaded checkpoint: {checkpoint}")
+        # Detect the checkpoint's architecture (speed_skip changed the param
+        # tree across rounds) and build the MATCHING model — a default-config
+        # template would fail to restore legacy checkpoints (advisor r2).
+        payload = restore_best_payload(checkpoint)
+        ss = payload_speed_skip(payload)
+        if ss != cfg.model.speed_skip:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, speed_skip=ss))
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        state = state.replace(
+            params=payload["params"], batch_stats=payload["batch_stats"])
+        print(f"  loaded checkpoint: {checkpoint} (speed_skip={ss})")
     else:
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
         print("  WARNING: no --checkpoint given; driving with an untrained policy")
     return state.apply_fn, {"params": state.params, "batch_stats": state.batch_stats}

@@ -125,6 +125,7 @@ def main(argv=None):
     video = None
     if not args.no_hud and HAS_CV2:
         hud = DashboardHUD()
+    compose_hud = DashboardHUD()  # also used headless for --save-video frames
     if args.save_video:
         import cv2
 
@@ -149,7 +150,7 @@ def main(argv=None):
             else:
                 frame = np.asarray(outs["frame"][-1])
             canvas = DashboardHUD.compose(
-                hud or DashboardHUD(),
+                hud or compose_hud,
                 frame,
                 speed_kmh=float(outs["speed_kmh"][-1]),
                 command=int(outs["command"][-1]),

@@ -31,16 +31,20 @@ def main(argv=None):
                    help="disable the sharded multi-device path")
     args = p.parse_args(argv)
 
+    # Multi-process init MUST precede any backend use (jax.devices() raises
+    # from jax.distributed.initialize() once the backend exists).
+    from cilrs_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed()
+
     import jax
 
     from cilrs_tpu.train.fused import fused_collect_train
 
     mesh = None
     if not args.single_device and len(jax.devices()) > 1:
-        from cilrs_tpu.parallel.distributed import initialize_distributed
         from cilrs_tpu.parallel.mesh import make_mesh
 
-        initialize_distributed()
         mesh = make_mesh()
         print(f"  mesh: {mesh.devices.size} devices (fleet + ring buffer "
               f"sharded, DP gradients)")

@@ -108,11 +108,29 @@ def collect_session(
     writer = csv.writer(csv_f)
     writer.writerow(CSV_HEADER)
 
+    # SIGINT-graceful stop (reference collect_data.py:144-149): first Ctrl-C
+    # finishes the current chunk, writes the CSV tail + summary.txt, and
+    # returns normally; a second Ctrl-C falls through to the default handler.
+    import signal
+
+    interrupted = {"flag": False}
+
+    def _on_sigint(signum, frame_):
+        interrupted["flag"] = True
+        signal.signal(signal.SIGINT, prev_handler)
+        print("\n  SIGINT: finishing current chunk, writing summary...",
+              flush=True)
+
+    try:
+        prev_handler = signal.signal(signal.SIGINT, _on_sigint)
+    except ValueError:  # non-main thread (tests): no handler, no graceful stop
+        prev_handler = None
+
     total = 0
     shard_id = 0
     cmd_counts = np.zeros(4, np.int64)
     t0 = time.time()
-    while total < num_frames:
+    while total < num_frames and not interrupted["flag"]:
         state, outs = chunk(state)
         frames = np.asarray(jax.device_get(outs["frame"]))  # [E, T, H, W, 3] uint8
         controls = np.asarray(outs["control"])  # [E, T, 3]
@@ -173,7 +191,10 @@ def collect_session(
             print(f"  collected {total}/{num_frames} frames ({fps:.0f} frames/s)")
 
     csv_f.close()
+    if prev_handler is not None and not interrupted["flag"]:
+        signal.signal(signal.SIGINT, prev_handler)
     stats = {
+        "interrupted": interrupted["flag"],
         "frames": total,
         "command_distribution": {COMMAND_NAMES[i]: int(cmd_counts[i]) for i in range(4)},
         "wall_time_s": time.time() - t0,

@@ -86,14 +86,22 @@ def predict(ckpt_dir: str, frames: np.ndarray, speed_kmh: np.ndarray,
     import jax
     import jax.numpy as jnp
 
+    import dataclasses
+
     from cilrs_tpu.config import SPEED_NORM_FACTOR, load_train_config
     from cilrs_tpu.ops.image import normalize
-    from cilrs_tpu.train.checkpoint import restore_best_params
+    from cilrs_tpu.train.checkpoint import payload_speed_skip, restore_best_payload
     from cilrs_tpu.train.state import create_train_state
 
     cfg = load_train_config()
+    payload = restore_best_payload(ckpt_dir)
+    ss = payload_speed_skip(payload)  # match legacy checkpoints (advisor r2)
+    if ss != cfg.model.speed_skip:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, speed_skip=ss))
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    state = restore_best_params(ckpt_dir, state)
+    state = state.replace(
+        params=payload["params"], batch_stats=payload["batch_stats"])
 
     @jax.jit
     def fwd(img, sp, cm):

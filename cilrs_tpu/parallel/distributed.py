@@ -48,8 +48,14 @@ def initialize_distributed(
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
     explicit = coordinator_address is not None and num_processes is not None
+    # A pod slice is only multi-process when there is more than one worker:
+    # single-host setups (and the axon tunnel) export TPU_WORKER_HOSTNAMES
+    # with one entry, where jax.distributed.initialize() has no coordinator
+    # to find and would raise.
+    worker_hosts = [h for h in
+                    os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
     auto_tpu_pod = (
-        os.environ.get("TPU_WORKER_HOSTNAMES") is not None
+        len(worker_hosts) > 1
         or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS") is not None
     )
     if not explicit and not auto_tpu_pod:

@@ -77,9 +77,20 @@ def make_sharded_rollout(
     )
 
     def call(fleet, net, pool, variables=None):
+        # Pad the env axis to a mesh multiple (device_put with P(DATA_AXIS)
+        # rejects uneven shards), then slice every output back to E.
+        fleet, E = pad_fleet_to_mesh(fleet, mesh)
+        if pool_batched:
+            pool, _ = pad_fleet_to_mesh(pool, mesh)
         fleet = jax.device_put(fleet, bspec)
         if variables is not None:
             variables = jax.device_put(variables, rspec)
-        return jitted(fleet, net, pool, variables)
+        final, outs = jitted(fleet, net, pool, variables)
+        padded = jax.tree.leaves(final)[0].shape[0]
+        if padded != E:
+            final = jax.tree.map(lambda x: x[:E], final)
+            # outputs are stacked [T, E_padded, ...]
+            outs = jax.tree.map(lambda x: x[:, :E], outs)
+        return final, outs
 
     return call

@@ -36,7 +36,10 @@ PED_HEIGHT = 1.8
 LIGHT_POLE_H = 5.2
 LIGHT_HEAD_R = 0.5
 NUM_NEAR_LIGHTS = 8
-NUM_NEAR_BUILDINGS = 16
+# 10 nearest buildings (was 16): the r2 bench regression traced to the OBB and
+# blur passes (tools/profile_step.py cost table in docs/PERF.md); beyond ~10
+# the extra facades are behind the nearer ones >95% of frames.
+NUM_NEAR_BUILDINGS = 10
 
 INF = 1e9
 
@@ -78,7 +81,7 @@ _LIGHT_COLORS = jnp.array([
 ], jnp.float32)
 
 
-NUM_NEAR_SEGMENTS = 96  # lane segments culled around the ego per frame
+NUM_NEAR_SEGMENTS = 72  # lane segments culled around the ego per frame
 
 # Opt-in Pallas kernel for the ground classification (TPU only; the XLA path
 # is the portable default). Set CILRS_PALLAS=1 or flip at import time.
@@ -216,7 +219,7 @@ def _ray_sphere(o, d, center, radius):
     return jnp.where(hit, t, INF)
 
 
-_MB_SCALES = (0.96, 0.92, 0.88)  # zoom-blur sample scales toward the FOE
+_MB_SCALES = (0.94, 0.88)  # zoom-blur sample scales toward the FOE
 _MB_SPEED_NORM = 50.0  # km/h at which blur weight saturates
 
 
@@ -304,45 +307,50 @@ def render_frame(
     # colors across the sky). Camera-centered coordinates keep magnitudes small.
     o_rel = jnp.array([0.0, 0.0, 1.0], jnp.float32) * o[2]
 
+    # Vehicles and the K nearest buildings are all vertical OBBs; one merged
+    # slab pass (one min + one one-hot palette matmul) replaces the two r2
+    # passes — the single biggest recovery of the r2 bench regression.
     lo = 0 if include_ego else 1
     vpos = world.veh_pos[lo:] - o[:2]
     vyaw = world.veh_yaw[lo:]
     valive = world.veh_alive[lo:]
     V1 = vpos.shape[0]
-    if V1 > 0:
-        t_veh, shade = _ray_obb(o_rel, rays, vpos, vyaw, 4.7 / 2, 2.0 / 2, VEH_HEIGHT)
-        t_veh = jnp.where(valive[None, :], t_veh, INF)
-        t_v = jnp.min(t_veh, axis=1)
-        is_min = (t_veh <= t_v[:, None] + 1e-3) & (t_veh < INF)
-        norm = jnp.maximum(jnp.sum(is_min, axis=1, keepdims=True), 1)
-        w_v = is_min.astype(jnp.float32) / norm  # [N, V1]
-        palette = _VEH_COLORS[(jnp.arange(V1) + 1) % _VEH_COLORS.shape[0]]  # [V1,3] (once)
-        sh_v = jnp.sum(w_v * shade, axis=1)
-        v_color = (w_v @ palette) * sh_v[:, None]
-    else:  # ego-only world
-        t_v = jnp.full((N,), INF)
-        v_color = jnp.zeros((N, 3))
-
-    # --- buildings (K nearest, static landmarks) ---
     Bg = net.bldg_xy.shape[0]
+    KB = min(NUM_NEAR_BUILDINGS, Bg)
+    box_xy = [vpos]
+    box_yaw = [vyaw]
+    box_hl = [jnp.full((V1,), 4.7 / 2, jnp.float32)]
+    box_hw = [jnp.full((V1,), 2.0 / 2, jnp.float32)]
+    box_h = [jnp.full((V1,), VEH_HEIGHT, jnp.float32)]
+    box_alive = [valive]
+    box_pal = [_VEH_COLORS[(jnp.arange(V1) + 1) % _VEH_COLORS.shape[0]]]
     if Bg > 0:
-        KB = min(NUM_NEAR_BUILDINGS, Bg)
         d2b = jnp.sum((net.bldg_xy - world.ego_pos) ** 2, axis=-1)
         _, nearb = jax.lax.top_k(-d2b, KB)  # per-frame cull (small gather)
-        t_bldg, shade_b = _ray_obb(
-            o_rel, rays, net.bldg_xy[nearb] - o[:2], net.bldg_yaw[nearb],
-            net.bldg_half[nearb, 0], net.bldg_half[nearb, 1], net.bldg_h[nearb],
+        box_xy.append(net.bldg_xy[nearb] - o[:2])
+        box_yaw.append(net.bldg_yaw[nearb])
+        box_hl.append(net.bldg_half[nearb, 0])
+        box_hw.append(net.bldg_half[nearb, 1])
+        box_h.append(net.bldg_h[nearb])
+        box_alive.append(jnp.ones((KB,), bool))
+        box_pal.append(_BLDG_COLORS[nearb % _BLDG_COLORS.shape[0]])
+    if V1 + KB > 0:
+        t_box, shade = _ray_obb(
+            o_rel, rays,
+            jnp.concatenate(box_xy), jnp.concatenate(box_yaw),
+            jnp.concatenate(box_hl), jnp.concatenate(box_hw),
+            jnp.concatenate(box_h),
         )
-        t_b = jnp.min(t_bldg, axis=1)
-        is_min_b = (t_bldg <= t_b[:, None] + 1e-3) & (t_bldg < INF)
-        norm_b = jnp.maximum(jnp.sum(is_min_b, axis=1, keepdims=True), 1)
-        w_b = is_min_b.astype(jnp.float32) / norm_b
-        bpal = _BLDG_COLORS[nearb % _BLDG_COLORS.shape[0]]  # [KB,3]
-        sh_b = jnp.sum(w_b * shade_b, axis=1)
-        b_color = (w_b @ bpal) * sh_b[:, None]
-    else:
-        t_b = jnp.full((N,), INF)
-        b_color = jnp.zeros((N, 3))
+        t_box = jnp.where(jnp.concatenate(box_alive)[None, :], t_box, INF)
+        t_v = jnp.min(t_box, axis=1)
+        is_min = (t_box <= t_v[:, None] + 1e-3) & (t_box < INF)
+        norm = jnp.maximum(jnp.sum(is_min, axis=1, keepdims=True), 1)
+        w_v = is_min.astype(jnp.float32) / norm  # [N, V1+KB]
+        sh_v = jnp.sum(w_v * shade, axis=1)
+        v_color = (w_v @ jnp.concatenate(box_pal)) * sh_v[:, None]
+    else:  # ego-only, building-free world
+        t_v = jnp.full((N,), INF)
+        v_color = jnp.zeros((N, 3))
 
     # --- pedestrians ---
     ped_rel = world.ped_pos - o[:2]
@@ -384,7 +392,6 @@ def render_frame(
     surf = ground_color
     emissive = jnp.zeros((N,), bool)
     for t_layer, c_layer, em in (
-        (t_b, b_color, False),
         (t_v, v_color, False),
         (t_p, jnp.broadcast_to(_PED_COLOR, (N, 3)), False),
         (t_pole_min, jnp.broadcast_to(_POLE, (N, 3)), False),

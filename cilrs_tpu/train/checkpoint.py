@@ -56,7 +56,13 @@ def save_checkpoint(
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
-    meta = {"epoch": epoch, "val_loss": float(val_loss), **(extra or {})}
+    meta = {
+        "epoch": epoch,
+        "val_loss": float(val_loss),
+        # Architecture flag recorded so restorers can build the right model.
+        "speed_skip": "speed_skip_w" in (state.params.get("branches") or {}),
+        **(extra or {}),
+    }
     with _mgr(ckpt_dir) as mgr:
         mgr.save(
             epoch,
@@ -113,29 +119,22 @@ def restore_latest(ckpt_dir: str, state: CILRSTrainState):
     return new_state, int(meta["epoch"]), float(meta["val_loss"])
 
 
-def restore_best_params(ckpt_dir: str, state: CILRSTrainState):
-    """Load the best epoch's params for inference (checkpoint_best.pth parity).
+def restore_best_payload(ckpt_dir: str) -> dict:
+    """Template-free restore of the best checkpoint's payload dict.
 
     Prefers the dedicated best_ckpt/ slot; falls back to best_epoch.txt /
     latest step in the rolling manager for checkpoints written before the
-    best-slot existed."""
+    best-slot existed. Template-free so the caller can inspect the saved
+    param tree (architecture flags like speed_skip changed across rounds —
+    advisor r2) BEFORE constructing the matching model."""
     ckpt_dir = os.path.abspath(ckpt_dir)
-    template = {
-        "step": state.step,
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-    }
-    comp = ocp.args.Composite(state=ocp.args.StandardRestore(template))
+    comp = ocp.args.Composite(state=ocp.args.StandardRestore())
 
     if os.path.isdir(os.path.join(ckpt_dir, BEST_SUBDIR)):
         with _best_mgr(ckpt_dir) as bmgr:
             epoch = bmgr.latest_step()
             if epoch is not None:
-                payload = bmgr.restore(epoch, args=comp)["state"]
-                return state.replace(
-                    params=payload["params"], batch_stats=payload["batch_stats"]
-                )
+                return bmgr.restore(epoch, args=comp)["state"]
 
     best_path = os.path.join(ckpt_dir, "best_epoch.txt")
     with _mgr(ckpt_dir) as mgr:
@@ -148,7 +147,20 @@ def restore_best_params(ckpt_dir: str, state: CILRSTrainState):
             epoch = mgr.latest_step()
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
-        payload = mgr.restore(epoch, args=comp)["state"]
+        return mgr.restore(epoch, args=comp)["state"]
+
+
+def payload_speed_skip(payload: dict) -> bool:
+    """Whether a checkpoint payload was trained with the speed-skip head."""
+    return "speed_skip_w" in payload["params"].get("branches", {})
+
+
+def restore_best_params(ckpt_dir: str, state: CILRSTrainState):
+    """Load the best epoch's params for inference (checkpoint_best.pth parity).
+
+    The caller's `state` must have the matching architecture; use
+    `restore_best_payload` + `payload_speed_skip` to detect it first."""
+    payload = restore_best_payload(ckpt_dir)
     return state.replace(
         params=payload["params"], batch_stats=payload["batch_stats"]
     )

@@ -446,7 +446,9 @@ def fused_collect_train(
     # collect kernel — identical shapes), then snapshot the freshest V frames
     # of its private ring. Training never touches this stream, and the frames
     # reflect a mature mixed-traffic fleet, not the synchronized warmup.
-    V = (min(4096, buffer_frames // 4) // B) * B
+    # Clamp to at least one batch: B > buffer/4 would otherwise floor V to 0
+    # and every holdout metric would silently evaluate to 0 (advisor r2).
+    V = max((min(4096, buffer_frames // 4) // B) * B, B)
     vbuf = shard_buf(make_buffer(buffer_frames, cam.height, cam.width))
     val_chunks = max(warmup_chunks,
                      (2 * V) // max(num_envs * collect_ticks, 1) + 1)
