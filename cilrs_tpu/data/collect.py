@@ -108,6 +108,17 @@ def collect_session(
     writer = csv.writer(csv_f)
     writer.writerow(CSV_HEADER)
 
+    # Sidecar with the teacher's gating inputs (obstacle distance, traffic-light
+    # state). measurements.csv keeps the exact 14-column reference schema
+    # (collect_data.py:549-564); the aux file exists so label-noise analysis
+    # (tools/label_noise_floor.py) can match repeat states on the OBSERVABLE
+    # quantities the teacher conditions on — without it, pairs with different
+    # lead-vehicle/light context inflate the estimated throttle/brake floor.
+    aux_path = os.path.join(output_dir, "aux.csv")
+    aux_f = open(aux_path, "w", newline="")
+    aux_writer = csv.writer(aux_f)
+    aux_writer.writerow(["frame", "obstacle_dist", "tl_state"])
+
     # SIGINT-graceful stop (reference collect_data.py:144-149): first Ctrl-C
     # finishes the current chunk, writes the CSV tail + summary.txt, and
     # returns normally; a second Ctrl-C falls through to the default handler.
@@ -155,6 +166,8 @@ def collect_session(
         cm = cmds.reshape(-1)[idx]
         po = poss.reshape(E * T, 2)[idx]
         yw = yaws.reshape(-1)[idx]
+        od = np.asarray(outs["obstacle_dist"]).reshape(-1)[idx]
+        tl = np.asarray(outs["tl_state"]).reshape(-1)[idx]
 
         shard_name = f"frames_{shard_id:04d}.npz"
         if image_format == "npz":
@@ -184,6 +197,7 @@ def collect_session(
                 f"{po[k, 0]:.3f}", f"{po[k, 1]:.3f}", "0.000",
                 f"{np.degrees(yw[k]):.3f}", f"{now:.3f}",
             ])
+            aux_writer.writerow([total + k, f"{od[k]:.3f}", int(tl[k])])
         total += len(idx)
         shard_id += 1
         if verbose:
@@ -191,6 +205,7 @@ def collect_session(
             print(f"  collected {total}/{num_frames} frames ({fps:.0f} frames/s)")
 
     csv_f.close()
+    aux_f.close()
     if prev_handler is not None and not interrupted["flag"]:
         signal.signal(signal.SIGINT, prev_handler)
     stats = {
