@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--hard-boost", type=float, default=None,
+                   help="extra sampling weight on big-steer/brake frames "
+                        "(0 = reference-parity command weighting)")
     p.add_argument("--pretrained-backbone", default=None,
                    help="torchvision resnet34 state_dict .pth to init the trunk "
                         "(reference notebook PART B uses ImageNet weights)")
@@ -35,6 +38,8 @@ def main(argv=None):
         tcfg = dataclasses.replace(tcfg, epochs=args.epochs)
     if args.batch_size is not None:
         tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
+    if args.hard_boost is not None:
+        tcfg = dataclasses.replace(tcfg, hard_frame_boost=args.hard_boost)
     cfg = dataclasses.replace(cfg, training=tcfg)
 
     import time

@@ -133,6 +133,9 @@ class TrainingConfig:
     early_stop_patience: int = 6
     seed: int = 42
     compute_dtype: str = "bfloat16"
+    # Extra sampling weight on big-steer/braking frames (0 = reference parity,
+    # command-frequency weighting only). See data.dataset.command_weights.
+    hard_frame_boost: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

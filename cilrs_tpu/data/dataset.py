@@ -76,20 +76,35 @@ def stratified_split(ds: DriveDataset, val_fraction: float = 0.15, seed: int = 4
     return np.concatenate(train_idx), np.concatenate(val_idx)
 
 
-def command_weights(command: np.ndarray) -> np.ndarray:
-    """Inverse-frequency per-sample weights (WeightedRandomSampler parity)."""
+def command_weights(
+    command: np.ndarray,
+    controls: np.ndarray | None = None,
+    hard_boost: float = 0.0,
+) -> np.ndarray:
+    """Inverse-frequency per-sample weights (WeightedRandomSampler parity).
+
+    With hard_boost > 0, frames where the loss actually lives — big-steer
+    (turn plateaus/ramps) and braking frames — additionally get (1 + boost)x
+    weight. The reference's sampler is command-only (boost 0); the residual
+    analyses (runs/residuals_r2*.json) localize ~70% of the steer loss in the
+    ~11% big-steer frames, which command weighting alone barely oversamples.
+    """
     counts = np.bincount(command, minlength=4).astype(np.float64)
     counts = np.maximum(counts, 1.0)
-    w = 1.0 / counts
-    return (w[command] / w[command].sum()).astype(np.float64)
+    w = (1.0 / counts)[command]
+    if controls is not None and hard_boost > 0.0:
+        hard = (np.abs(controls[:, 0]) > 0.1) | (controls[:, 2] > 0.05)
+        w = w * (1.0 + hard_boost * hard)
+    return (w / w.sum()).astype(np.float64)
 
 
 class WeightedBatchSampler:
     """Oversampling batch index generator matching WeightedRandomSampler
     (with replacement, weighted by inverse command frequency)."""
 
-    def __init__(self, command: np.ndarray, batch_size: int, seed: int = 42):
-        self.p = command_weights(command)
+    def __init__(self, command: np.ndarray, batch_size: int, seed: int = 42,
+                 controls: np.ndarray | None = None, hard_boost: float = 0.0):
+        self.p = command_weights(command, controls, hard_boost)
         self.n = len(command)
         self.batch_size = batch_size
         self.rng = np.random.RandomState(seed)

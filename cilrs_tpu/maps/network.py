@@ -179,6 +179,66 @@ def _bezier(p0, h0, p1, h1, n):
     return pts
 
 
+def _fillet(p0, h0, p1, h1, spacing):
+    """Line + circular-arc + line connector from p0/heading h0 to p1/heading h1.
+
+    Junction corners are tangent circular fillets (how real intersections are
+    built). The payoff over a bezier is CONSTANT curvature along the whole
+    corner: the kinematically exact steer through it is a flat plateau with a
+    one-waypoint ramp, so the autopilot's steer labels on turn frames become a
+    (visually anchored) step function instead of a continuous ramp the 88x200
+    camera cannot resolve — the reference's LEFT/RIGHT steer-MAE of ~0.004
+    (evaluation_report.json:40-55) is only clonable from labels this flat.
+    Falls back to a bezier when the heading lines don't intersect ahead.
+    Returns a polyline INCLUDING both endpoints, ~`spacing` m apart.
+    """
+    chord = p1 - p0
+    cross = h0[0] * h1[1] - h0[1] * h1[0]
+    dot = float(np.clip(np.dot(h0, h1), -1.0, 1.0))
+    theta = float(np.arctan2(abs(cross), dot))  # total heading change
+    if theta < 0.06:  # straight-through connector
+        n = max(4, int(round(np.linalg.norm(chord) / spacing)) + 1)
+        return p0 + chord * np.linspace(0.0, 1.0, n)[:, None]
+    # Corner point C: p0 + a*h0 == p1 - b*h1, both a,b > 0 required.
+    A = np.stack([h0, -h1], axis=1)
+    det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+    if abs(det) < 1e-9:
+        return _bezier(p0, h0, p1, h1,
+                       max(4, int(round(np.linalg.norm(chord) / spacing)) + 1))
+    ab = np.linalg.solve(A, chord)
+    a, b = float(ab[0]), float(ab[1])
+    if a <= 0.1 or b <= 0.1:
+        return _bezier(p0, h0, p1, h1,
+                       max(4, int(round(np.linalg.norm(chord) / spacing)) + 1))
+    C = p0 + h0 * a
+    tl = min(a, b)  # tangent length from C; radius r = tl / tan(theta/2)
+    r = tl / max(np.tan(theta / 2.0), 1e-6)
+    T0 = C - h0 * tl  # arc start (on the incoming line)
+    T1 = C + h1 * tl  # arc end (on the outgoing line)
+    side = 1.0 if cross > 0 else -1.0  # +1 left turn
+    n0 = np.array([-h0[1], h0[0]]) * side  # unit normal toward the arc center
+    O = T0 + n0 * r
+    a0 = np.arctan2(T0[1] - O[1], T0[0] - O[0])
+    sweep = side * theta
+    # Arcs sample at HALF the lane spacing: the chord-heading curvature at the
+    # two tangent-point vertices is half the arc value, so the teacher's steer
+    # ramp spans one sample interval on each side — 1 m keeps it to ~4 frames.
+    n_arc = max(4, int(round(abs(sweep) * r / (0.5 * spacing))) + 1)
+    ang = a0 + np.linspace(0.0, sweep, n_arc)
+    arc = O + r * np.stack([np.cos(ang), np.sin(ang)], axis=-1)
+    pieces = []
+    d_in = a - tl
+    if d_in > 0.25:  # tangent point short of p0: straight lead-in
+        n_in = max(2, int(round(d_in / spacing)) + 1)
+        pieces.append(p0 + (T0 - p0) * np.linspace(0.0, 1.0, n_in)[:-1, None])
+    pieces.append(arc)
+    d_out = b - tl
+    if d_out > 0.25:  # tangent point short of p1: straight lead-out
+        n_out = max(2, int(round(d_out / spacing)) + 1)
+        pieces.append(T1 + (p1 - T1) * np.linspace(0.0, 1.0, n_out)[1:, None])
+    return np.concatenate(pieces, axis=0)
+
+
 def _yaws_from_polyline(pts):
     d = np.diff(pts, axis=0)
     yaw = np.arctan2(d[:, 1], d[:, 0])
@@ -194,9 +254,29 @@ def build_network(
     """Compile a node/edge graph into a RoadNetwork (host-side, numpy)."""
     nodes = np.asarray(spec.nodes, np.float64)
     degree = np.zeros(len(nodes), np.int64)
+    node_dirs: list[list[np.ndarray]] = [[] for _ in nodes]
     for i, j in spec.edges:
         degree[i] += 1
         degree[j] += 1
+        d = nodes[j] - nodes[i]
+        d = d / max(np.linalg.norm(d), 1e-9)
+        node_dirs[i].append(d)
+        node_dirs[j].append(-d)
+
+    # Per-node connector setback. Degree-2 nodes where the road BENDS (grid
+    # perimeter corners) get the full junction setback: with only 2 m the
+    # corner fillet radius collapses to ~2.5 m, which saturates the steer at
+    # 1.0 on frames labeled LANEFOLLOW — unlearnable labels AND un-drivable
+    # geometry. With 9 m the bend becomes a wide ~9 m arc, like Town01's
+    # curved perimeter roads (driven under LANEFOLLOW in the reference too).
+    setback = np.full(len(nodes), 2.0)
+    for nix in range(len(nodes)):
+        if degree[nix] >= 3:
+            setback[nix] = JUNCTION_SETBACK
+        elif degree[nix] == 2:
+            d0, d1 = node_dirs[nix]
+            if abs(np.dot(d0, d1)) < 0.98:  # not collinear: a bend
+                setback[nix] = JUNCTION_SETBACK
 
     wp_xy, wp_yaw, wp_turn, wp_junc = [], [], [], []
     wp_left, wp_right = [], []
@@ -234,8 +314,8 @@ def build_network(
             length = np.linalg.norm(d)
             h = d / max(length, 1e-9)
             right = np.array([h[1], -h[0]])  # right-hand side of travel
-            sa = JUNCTION_SETBACK if degree[a] >= 3 else 2.0
-            sb = JUNCTION_SETBACK if degree[b] >= 3 else 2.0
+            sa = setback[a]
+            sb = setback[b]
             usable = length - sa - sb
             if usable < WP_SPACING * 2:
                 continue
@@ -277,8 +357,9 @@ def build_network(
                     turn = TURN_LEFT
                 else:
                     turn = TURN_RIGHT
-                n = max(3, int(round(gap / WP_SPACING)) + 1)
-                pts = _bezier(end_pt, hi, start_pt, ho, n + 2)[1:-1]
+                pts = _fillet(end_pt, hi, start_pt, ho, WP_SPACING)[1:-1]
+                if len(pts) < 1:
+                    continue
                 junction = degree[nidx] >= 3
                 first, last = add_polyline(pts, turn if junction else TURN_FOLLOW, bool(junction))
                 next_lists[li].append(first)

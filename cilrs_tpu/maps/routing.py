@@ -43,6 +43,7 @@ class Route:
     wp_index: jnp.ndarray  # [R] i32 — original network waypoint ids
     valid: jnp.ndarray  # [R] bool
     length: jnp.ndarray  # scalar i32 — number of valid entries
+    kappa: jnp.ndarray  # [R] f32 — signed curvature of the interval [i, i+1]
 
 
 @struct.dataclass
@@ -55,6 +56,7 @@ class RoutePool:
     wp_index: jnp.ndarray  # [K, R]
     valid: jnp.ndarray  # [K, R]
     length: jnp.ndarray  # [K]
+    kappa: jnp.ndarray  # [K, R]
 
     @property
     def num_routes(self) -> int:
@@ -64,6 +66,7 @@ class RoutePool:
         return Route(
             xy=self.xy[k], yaw=self.yaw[k], option=self.option[k],
             wp_index=self.wp_index[k], valid=self.valid[k], length=self.length[k],
+            kappa=self.kappa[k],
         )
 
 
@@ -75,6 +78,7 @@ def stack_routes(routes: list[Route]) -> RoutePool:
         wp_index=jnp.stack([r.wp_index for r in routes]),
         valid=jnp.stack([r.valid for r in routes]),
         length=jnp.stack([r.length for r in routes]),
+        kappa=jnp.stack([r.kappa for r in routes]),
     )
 
 
@@ -160,6 +164,40 @@ def host_graph(net: RoadNetwork) -> _HostGraph:
     return g
 
 
+KAPPA_DEADBAND = 0.02  # 1/m: below this (r > 50 m) the label is EXACTLY zero
+
+
+def _path_kappa(xy: np.ndarray, yaw: np.ndarray, n: int) -> np.ndarray:
+    """Signed curvature of each route interval [i, i+1], from the traced
+    polyline. With circular-fillet junction connectors (maps.network._fillet)
+    this is piecewise CONSTANT — zero on straights (deadbanded exactly), 1/r on
+    corner arcs — which is what makes the teacher's feedforward steer a flat,
+    clonable plateau (agent/autopilot.py)."""
+    k = np.zeros(len(xy), np.float32)
+    if n >= 3:
+        # Chord headings from POSITIONS (stored per-waypoint yaws repeat the
+        # last segment heading inside each polyline, which punches a spurious
+        # zero into every corner plateau).
+        seg = xy[1:n] - xy[: n - 1]
+        ds = np.linalg.norm(seg, axis=-1)
+        cy = np.arctan2(seg[:, 1], seg[:, 0])  # [n-1]
+        dpsi = cy[1:] - cy[:-1]  # turn angle at interior vertex i+1
+        dpsi = (dpsi + np.pi) % (2 * np.pi) - np.pi
+        kk = dpsi / np.maximum(0.5 * (ds[:-1] + ds[1:]), 0.5)
+        kk[np.abs(kk) < KAPPA_DEADBAND] = 0.0
+        # NO smoothing/snapping: the feedforward must integrate the polyline's
+        # TRUE curvature profile (half-value chord vertices at the tangent
+        # points included) or the teacher systematically cuts corners and the
+        # correction term un-flattens the plateau. The entry/exit ramp is kept
+        # SHORT by sampling fillet arcs at ~1 m (maps.network._fillet).
+        # kk[j] is the curvature AT VERTEX j+1; store it there — an off-by-one
+        # here makes the feedforward lead the road by a waypoint and cut every
+        # corner. The teacher's linear interp then reproduces the profile
+        # exactly at every fractional position.
+        k[1 : n - 1] = np.clip(kk, -0.5, 0.5)
+    return k
+
+
 def _route_from_path(g: "_HostGraph", path: list[int]) -> Route:
     n = len(path)
     idx = np.asarray(path, np.int32)
@@ -167,13 +205,16 @@ def _route_from_path(g: "_HostGraph", path: list[int]) -> Route:
     idx_full = np.concatenate([idx, pad])
     valid = np.zeros(ROUTE_MAX, bool)
     valid[:n] = True
+    xy = g.xy[idx_full]
+    yaw = g.yaw[idx_full]
     return Route(
-        xy=jnp.asarray(g.xy[idx_full], jnp.float32),
-        yaw=jnp.asarray(g.yaw[idx_full], jnp.float32),
+        xy=jnp.asarray(xy, jnp.float32),
+        yaw=jnp.asarray(yaw, jnp.float32),
         option=jnp.asarray(g.turn[idx_full], jnp.int32),
         wp_index=jnp.asarray(idx_full),
         valid=jnp.asarray(valid),
         length=jnp.asarray(n, jnp.int32),
+        kappa=jnp.asarray(_path_kappa(xy, yaw, n), jnp.float32),
     )
 
 

@@ -220,7 +220,12 @@ def _ray_sphere(o, d, center, radius):
 
 
 _MB_SCALES = (0.94, 0.88)  # zoom-blur sample scales toward the FOE
-_MB_SPEED_NORM = 50.0  # km/h at which blur weight saturates
+# Blur saturates at the actual top speed (45 km/h rule cap), not CARLA's 50:
+# the aux speed head reads blur as its visual speed cue, and compressing the
+# 0-35 km/h operating range into the bottom of the curve (r2: norm 50) left
+# ~0.5 of the blur dynamic range unused — speed-head corr 0.931 vs the 0.9844
+# target traces to exactly this cue being too flat between 20 and 35 km/h.
+_MB_SPEED_NORM = 36.0  # km/h at which blur weight saturates
 
 
 def _zoom_sample(img: jnp.ndarray, f: float) -> jnp.ndarray:

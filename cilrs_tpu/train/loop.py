@@ -187,7 +187,11 @@ def train(
         train_step = jax.jit(base_train_step, donate_argnums=0)
         eval_step = jax.jit(base_eval_step)
 
-    sampler = WeightedBatchSampler(ds.command[train_idx], B, cfg.training.seed)
+    sampler = WeightedBatchSampler(
+        ds.command[train_idx], B, cfg.training.seed,
+        controls=ds.controls[train_idx],
+        hard_boost=cfg.training.hard_frame_boost,
+    )
     rng = jax.random.PRNGKey(cfg.training.seed + 1)
 
     history = []

@@ -122,7 +122,7 @@ def test_multi_env_event_divergence(mini_town):
         float(solo_final.metrics.total_distance), d[0], rtol=1e-5)
 
 
-GOLDEN = np.array([[[[0.5329999923706055, 0.6428999900817871, 0.7998999953269958], [0.52920001745224, 0.6780999898910522, 0.8751999735832214], [0.5303000211715698, 0.67330002784729, 0.8615999817848206], [0.5582000017166138, 0.6703000068664551, 0.8269000053405762]], [[0.37310001254081726, 0.3747999966144562, 0.3571000099182129], [0.2849999964237213, 0.28859999775886536, 0.28850001096725464], [0.2741999924182892, 0.28220000863075256, 0.27459999918937683], [0.3384999930858612, 0.366100013256073, 0.3151000142097473]]], [[[0.46889999508857727, 0.4975000023841858, 0.5389000177383423], [0.48080000281333923, 0.5263000130653381, 0.5787000060081482], [0.47839999198913574, 0.5209000110626221, 0.5698999762535095], [0.4887999892234802, 0.5203999876976013, 0.5626000165939331]], [[0.2825999855995178, 0.2856000065803528, 0.27459999918937683], [0.21119999885559082, 0.2152000069618225, 0.21639999747276306], [0.20669999718666077, 0.21310000121593475, 0.20999999344348907], [0.26930001378059387, 0.2892000079154968, 0.25609999895095825]]], [[[0.6995000243186951, 0.7085999846458435, 0.7170000076293945], [0.7240999937057495, 0.7447999715805054, 0.7545999884605408], [0.7171000242233276, 0.7355999946594238, 0.7450000047683716], [0.724399983882904, 0.7358999848365784, 0.7461000084877014]], [[0.4309000074863434, 0.4336000084877014, 0.42649999260902405], [0.3603000044822693, 0.36320000886917114, 0.36739999055862427], [0.3517000079154968, 0.35580000281333923, 0.35740000009536743], [0.41780000925064087, 0.4318999946117401, 0.4083999991416931]]], [[[0.0471000000834465, 0.052799999713897705, 0.09290000051259995], [0.03519999980926514, 0.04960000142455101, 0.09279999881982803], [0.03799999877810478, 0.050599999725818634, 0.09269999712705612], [0.04749999940395355, 0.05420000106096268, 0.09690000116825104]], [[0.09200000017881393, 0.09290000051259995, 0.0934000015258789], [0.11829999834299088, 0.11990000307559967, 0.12849999964237213], [0.11559999734163284, 0.11800000071525574, 0.1251000016927719], [0.08160000294446945, 0.08799999952316284, 0.08209999650716782]]], [[[0.34220001101493835, 0.3634999990463257, 0.40070000290870667], [0.3443000018596649, 0.3774000108242035, 0.4185999929904938], [0.3456000089645386, 0.37619999051094055, 0.4156000018119812], [0.3589000105857849, 0.38269999623298645, 0.4226999878883362]], [[0.23489999771118164, 0.2401999980211258, 0.24079999327659607], [0.18070000410079956, 0.18619999289512634, 0.19419999420642853], [0.17919999361038208, 0.18569999933242798, 0.1915999948978424], [0.23010000586509705, 0.24490000307559967, 0.2337999939918518]]]])
+GOLDEN = np.array([[[[0.5687000155448914, 0.6776999831199646, 0.858299970626831], [0.5655999779701233, 0.7249000072479248, 0.9355000257492065], [0.529699981212616, 0.6744999885559082, 0.8646000027656555], [0.5748999714851379, 0.6990000009536743, 0.8730999827384949]], [[0.314300000667572, 0.3292999863624573, 0.3095000088214874], [0.2599000036716461, 0.2667999863624573, 0.26669999957084656], [0.2711000144481659, 0.27810001373291016, 0.27090001106262207], [0.337799996137619, 0.36489999294281006, 0.3149999976158142]]], [[[0.5015000104904175, 0.522599995136261, 0.5741000175476074], [0.5038999915122986, 0.5530999898910522, 0.6092000007629395], [0.47870001196861267, 0.5218999981880188, 0.571399986743927], [0.5002999901771545, 0.5361999869346619, 0.5842000246047974]], [[0.24279999732971191, 0.2538999915122986, 0.24279999732971191], [0.19329999387264252, 0.19869999587535858, 0.20080000162124634], [0.2037999927997589, 0.20970000326633453, 0.20679999887943268], [0.2687000036239624, 0.2881999909877777, 0.2556999921798706]]], [[[0.7282999753952026, 0.7250000238418579, 0.7376000285148621], [0.7340999841690063, 0.7544999718666077, 0.7645000219345093], [0.7166000008583069, 0.7357000112533569, 0.7447999715805054], [0.730400025844574, 0.742900013923645, 0.7545999884605408]], [[0.40299999713897705, 0.4099000096321106, 0.4052000045776367], [0.34459999203681946, 0.3474999964237213, 0.3531999886035919], [0.3481999933719635, 0.3521000146865845, 0.35370001196861267], [0.41670000553131104, 0.43050000071525574, 0.4072999954223633]]], [[[0.05550000071525574, 0.04749999940395355, 0.0949999988079071], [0.035100001841783524, 0.049400001764297485, 0.09589999914169312], [0.03759999945759773, 0.050700001418590546, 0.09269999712705612], [0.043299999088048935, 0.050999999046325684, 0.09759999811649323]], [[0.07559999823570251, 0.07909999787807465, 0.08079999685287476], [0.1103999987244606, 0.11219999939203262, 0.12150000035762787], [0.11330000311136246, 0.11559999734163284, 0.1225999966263771], [0.08100000023841858, 0.08730000257492065, 0.08169999718666077]]], [[[0.364300012588501, 0.3747999966144562, 0.41850000619888306], [0.3521000146865845, 0.3862000107765198, 0.42890000343322754], [0.3452000021934509, 0.37619999051094055, 0.4154999852180481], [0.361299991607666, 0.38670000433921814, 0.4291999936103821]], [[0.2101999968290329, 0.21960000693798065, 0.2222999930381775], [0.16840000450611115, 0.17409999668598175, 0.18330000340938568], [0.17710000276565552, 0.1834000051021576, 0.18930000066757202], [0.22949999570846558, 0.24400000274181366, 0.23330000042915344]]]])
 
 
 def test_weather_shader_golden(mini_town):

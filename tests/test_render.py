@@ -123,7 +123,7 @@ def test_autopilot_longitudinal_continuity():
     route = Route(
         xy=jnp.asarray(xy), yaw=jnp.zeros(n), option=jnp.zeros(n, jnp.int32),
         wp_index=jnp.arange(n, dtype=jnp.int32), valid=jnp.ones(n, bool),
-        length=jnp.asarray(n, jnp.int32),
+        length=jnp.asarray(n, jnp.int32), kappa=jnp.zeros(n),
     )
     pos = jnp.asarray([0.0, 0.0])
     speeds = np.linspace(25.0, 35.0, 101)  # sweep through the 30 km/h target
