@@ -29,9 +29,12 @@ def main(argv=None):
     enable_compilation_cache()
     p = argparse.ArgumentParser(description="CILRS-TPU 5-weather benchmark")
     p.add_argument("--checkpoint", default=None)
-    p.add_argument("--duration", type=float, default=300.0)
-    p.add_argument("--spawn", type=int, default=0)
-    p.add_argument("--destination", type=int, default=50)
+    p.add_argument("--duration", type=float, default=480.0)
+    # Default = the LONGEST spawn-pair route in town01 (1,285 m, ~2.3x the old
+    # 0->50 557 m protocol) so run difficulty/duration is comparable to the
+    # reference's 289-384 s routes (reference RESULTS.md:12-16).
+    p.add_argument("--spawn", type=int, default=249)
+    p.add_argument("--destination", type=int, default=219)
     p.add_argument("--vehicles", type=int, default=40)
     p.add_argument("--pedestrians", type=int, default=5)
     p.add_argument("--map", default="town01")
@@ -78,6 +81,7 @@ def _format_markdown(results: dict, args) -> str:
         rows.append(
             f"| {WEATHER_LABELS.get(w, w)} | {s['overall']:.1f} | {s['grade'].split()[0]} | "
             f"{s['collisions']:.0f} | {'yes' if s['routes_completed'] >= 1 else 'no'} | "
+            f"{s.get('route_length_m', float('nan')):.0f} m | "
             f"{s['total_time_s']:.0f} s | {s['max_speed_kmh']:.1f} km/h |"
         )
         total += s["overall"]
@@ -92,8 +96,8 @@ def _format_markdown(results: dict, args) -> str:
         f"20 Hz, duration cap {args.duration:.0f} s. "
         f"Policy: {'rule-based autopilot' if args.autopilot else args.checkpoint or 'untrained'}.",
         "",
-        "| Weather | Overall | Grade | Collisions | Destination | Time | Max speed |",
-        "|---------|---------|-------|------------|-------------|------|-----------|",
+        "| Weather | Overall | Grade | Collisions | Destination | Route | Time | Max speed |",
+        "|---------|---------|-------|------------|-------------|-------|------|-----------|",
         *rows,
         "",
         f"**Average score: {avg:.1f} / 100 — {collisions:.0f} total collisions — "

@@ -77,13 +77,17 @@ def main(argv=None):
     spawns = host_arrays(net).spawn_wp
     ego_wp = info["ego_wp"]
     loop_routes = args.destination is None
+    route_len_m = None
     if args.destination is not None:
         dest_wp = int(spawns[args.destination % len(spawns)])
         route = trace_route(net, ego_wp, dest_wp)
         if route is None:
             raise SystemExit("destination unreachable from spawn")
         pool = stack_routes([route])
-        print(f"  route: {int(route.length)} waypoints to spawn point {args.destination}")
+        rxy = np.asarray(route.xy)[: int(route.length)]
+        route_len_m = float(np.sum(np.hypot(*(rxy[1:] - rxy[:-1]).T)))
+        print(f"  route: {int(route.length)} waypoints, {route_len_m:.0f} m "
+              f"to spawn point {args.destination}")
     else:
         pool = chained_route_pool(net, rng, num_routes=6, start_wp=ego_wp)
     print(f"  routes ready ({time.time() - t_setup:.1f}s)", flush=True)
@@ -143,6 +147,11 @@ def main(argv=None):
         state, outs = roll(state, net, pool, variables)
         done_ticks += CHUNK_TICKS
         scores = compute_scores(state.metrics, scoring)
+        # Pinned-destination protocol: arrival parks the car and freezes the
+        # metrics (driver.py), so further chunks are dead time — stop early.
+        if not loop_routes and bool(state.route_done):
+            print("  destination reached")
+            break
 
         if hud is not None or video is not None:
             if chase_render is not None:
@@ -186,6 +195,8 @@ def main(argv=None):
         hud.close()
 
     scores = compute_scores(state.metrics, scoring)
+    if route_len_m is not None:
+        scores["route_length_m"] = route_len_m
     wall = time.time() - t_wall
     print(f"\nAvg sim rate: {done_ticks / wall:.1f} ticks/s ({done_ticks * DT / wall:.1f}x realtime)")
     print(format_report(scores))

@@ -34,32 +34,61 @@ class DriveDataset:
         return len(self.command)
 
 
-def load_sessions(session_dirs: list[str]) -> DriveDataset:
-    """Load one or more collect_session output dirs (npz or jpeg format)."""
+def _load_one_session(d: str):
+    csv_path = os.path.join(d, "measurements.csv")
+    rows = list(csv.DictReader(open(csv_path)))
+    imgs, speeds, cmds, ctls = [], [], [], []
+    shard_cache: dict[str, np.ndarray] = {}
+    for row in rows:
+        fn = row["image_filename"]
+        if "#" in fn:  # npz shard reference
+            shard, k = fn.split("#")
+            if shard not in shard_cache:
+                shard_cache[shard] = np.load(os.path.join(d, shard))["frames"]
+            imgs.append(shard_cache[shard][int(k)])
+        else:
+            from PIL import Image
+
+            imgs.append(np.asarray(Image.open(os.path.join(d, fn))))
+        speeds.append(float(row["speed_normalized"]))
+        cmds.append(COMMAND_MAP.get(row["command_name"].upper(), int(row["high_level_command"])))
+        ctls.append([float(row["steer"]), float(row["throttle"]), float(row["brake"])])
+    return (np.stack(imgs), np.asarray(speeds, np.float32),
+            np.asarray(cmds, np.int32), np.asarray(ctls, np.float32))
+
+
+def load_sessions(session_dirs: list[str], cache: bool = True) -> DriveDataset:
+    """Load one or more collect_session output dirs (npz or jpeg format).
+
+    On first load each session is mirrored into an UNCOMPRESSED `.cache.npz`
+    sidecar: zlib-inflating 30 compressed shards per session on the one-core
+    host costs ~5 min per 36K frames, while `np.load` of the uncompressed
+    mirror is disk-bound (~seconds). Delete the sidecar after re-collecting.
+    """
     imgs, speeds, cmds, ctls = [], [], [], []
     for d in session_dirs:
-        csv_path = os.path.join(d, "measurements.csv")
-        rows = list(csv.DictReader(open(csv_path)))
-        shard_cache: dict[str, np.ndarray] = {}
-        for row in rows:
-            fn = row["image_filename"]
-            if "#" in fn:  # npz shard reference
-                shard, k = fn.split("#")
-                if shard not in shard_cache:
-                    shard_cache[shard] = np.load(os.path.join(d, shard))["frames"]
-                imgs.append(shard_cache[shard][int(k)])
-            else:
-                from PIL import Image
-
-                imgs.append(np.asarray(Image.open(os.path.join(d, fn))))
-            speeds.append(float(row["speed_normalized"]))
-            cmds.append(COMMAND_MAP.get(row["command_name"].upper(), int(row["high_level_command"])))
-            ctls.append([float(row["steer"]), float(row["throttle"]), float(row["brake"])])
+        cpath = os.path.join(d, ".cache.npz")
+        if cache and os.path.exists(cpath) and (
+                os.path.getmtime(cpath) >=
+                os.path.getmtime(os.path.join(d, "measurements.csv"))):
+            z = np.load(cpath)
+            part = (z["images"], z["speed"], z["command"], z["controls"])
+        else:
+            part = _load_one_session(d)
+            if cache:
+                tmp = cpath + ".tmp.npz"
+                np.savez(tmp, images=part[0], speed=part[1],
+                         command=part[2], controls=part[3])
+                os.replace(tmp, cpath)
+        imgs.append(part[0])
+        speeds.append(part[1])
+        cmds.append(part[2])
+        ctls.append(part[3])
     return DriveDataset(
-        images=np.stack(imgs),
-        speed_norm=np.asarray(speeds, np.float32),
-        command=np.asarray(cmds, np.int32),
-        controls=np.asarray(ctls, np.float32),
+        images=np.concatenate(imgs) if len(imgs) > 1 else imgs[0],
+        speed_norm=np.concatenate(speeds),
+        command=np.concatenate(cmds),
+        controls=np.concatenate(ctls),
     )
 
 

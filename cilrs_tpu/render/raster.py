@@ -83,11 +83,6 @@ _LIGHT_COLORS = jnp.array([
 
 NUM_NEAR_SEGMENTS = 72  # lane segments culled around the ego per frame
 
-# Opt-in Pallas kernel for the ground classification (TPU only; the XLA path
-# is the portable default). Set CILRS_PALLAS=1 or flip at import time.
-import os as _os
-
-USE_PALLAS = _os.environ.get("CILRS_PALLAS", "0") == "1"
 ROAD_HALF_W = 2.2  # m from a lane centerline (lanes 3.5 m, centers 3.5 m apart)
 SIDEWALK_OUT = 4.2
 MARKING_LAT = 1.75  # road-center double line sits left of each lane center
@@ -280,13 +275,12 @@ def render_frame(
     t_ground = jnp.where(dz < -1e-4, o[2] / jnp.maximum(-dz, 1e-6), INF)
     t_ground = jnp.where(t_ground < spec.far, t_ground, INF)
     gxy = o[:2] + rays[:, :2] * t_ground[:, None]
-    if USE_PALLAS:
-        from cilrs_tpu.render.pallas_ground import ground_masks_pallas, pack_segments
-
-        seg = pack_segments(net, world.ego_pos, NUM_NEAR_SEGMENTS)
-        road, marking, sidewalk = ground_masks_pallas(seg, gxy - world.ego_pos)
-    else:
-        road, marking, sidewalk = _ground_masks(net, world.ego_pos, gxy)
+    # Ground classification stays on the XLA path: a Pallas version was built
+    # and measured SLOWER end-to-end (XLA fuses the masks into the renderer's
+    # select chain; the kernel paid a pad+transpose it never earned back).
+    # The framework's Pallas investment lives where XLA is pathological
+    # instead: ops/gather.py (resident-dataset batch gather).
+    road, marking, sidewalk = _ground_masks(net, world.ego_pos, gxy)
     road_c = wx.wet_darken(world.weather_idx, _ASPHALT)
     g = _GRASS
     g = g * (1 - sidewalk[:, None]) + _SIDEWALK * sidewalk[:, None]

@@ -125,8 +125,12 @@ def train(
     dev_resident = n_dev == 1
     if dev_resident:
         frame_bytes = int(np.prod(ds.images.shape[1:]))
-        cap_train = int(5.5e9 // frame_bytes)
-        cap_val = int(0.45e9 // frame_bytes)
+        # 16 GB v5e HBM minus model+opt (~0.3 GB) and step workspace: the flat
+        # uint8 layout has no tile padding, so a 180K-frame dataset's full 85%
+        # train split (~8.1 GB) fits resident. The old 5.5 GB cap predates the
+        # flat layout and silently dropped a third of the train split.
+        cap_train = int(8.4e9 // frame_bytes)
+        cap_val = int(0.5e9 // frame_bytes)
         rng_np = np.random.RandomState(cfg.training.seed + 5)
         if len(train_idx) > cap_train:
             sel = rng_np.choice(len(train_idx), cap_train, replace=False)
@@ -138,10 +142,28 @@ def train(
                    val_idx[np.sort(rng_np.choice(len(val_idx), cap_val,
                                                  replace=False))])
 
+        from cilrs_tpu.ops.gather import LANE, gather_rows, padded_row_elems
+
+        img_shape = ds.images.shape[1:]
+        D = int(np.prod(img_shape))
+        # Tile-dense padding (not just 128-lane): a non-dense tiled table
+        # layout forces XLA to copy the WHOLE table in front of the Mosaic
+        # kernel (ops/gather.py:sublane_multiple).
+        D_pad = padded_row_elems(D, ds.images.dtype)
+
         def _ship(idx):
+            # Frames ship PRE-BLOCKED [N, R, 128] (gather_rows' layout): a 2D
+            # [N, D] table reshaped under jit costs a full-table relayout copy
+            # on TPU (7.7 GB at this size). Fill in chunks so the host-side
+            # fancy-index temp stays small.
+            n = len(idx)
+            blk = np.zeros((n, D_pad // LANE, LANE), ds.images.dtype)
+            flat = blk.reshape(n, -1)
+            for s in range(0, n, 16384):
+                sub = idx[s : s + 16384]
+                flat[s : s + len(sub), :D] = ds.images[sub].reshape(len(sub), -1)
             return {
-                "images": jax.device_put(
-                    np.ascontiguousarray(ds.images[idx]).reshape(len(idx), -1)),
+                "images": jax.device_put(blk),
                 "speed": jax.device_put(ds.speed_norm[idx]),
                 "command": jax.device_put(ds.command[idx]),
                 "controls": jax.device_put(ds.controls[idx]),
@@ -149,11 +171,16 @@ def train(
 
         dev_train = _ship(train_idx)
         dev_val = _ship(val_res)
-        img_shape = ds.images.shape[1:]
 
         def _gather(dds, idx):
-            b = {k: v[idx] for k, v in dds.items()}
-            b["images"] = b["images"].reshape((idx.shape[0],) + img_shape)
+            # Frames gather through the Pallas row-gather kernel: XLA's own
+            # lowering of `table[idx]` at this size materializes a full layout
+            # copy of the table plus a half-column slice temp (~2.5x the
+            # table's footprint -> chip OOM at the 8.4 GB cap); the kernel
+            # DMAs exactly the requested rows (ops/gather.py).
+            b = {k: v[idx] for k, v in dds.items() if k != "images"}
+            b["images"] = gather_rows(dds["images"], idx)[:, :D].reshape(
+                (idx.shape[0],) + img_shape)
             return b
 
         # dds is a jit ARGUMENT, never closed over: captured arrays become
@@ -163,22 +190,33 @@ def train(
         # through the axon TPU link) dominated the r2 epoch time (822 frames/s
         # at batch 120 = one RTT per step); amortizing it K-fold is the whole
         # VERDICT-r2 item 5 fix.
+        def _gather_group(dds, idxs):  # idxs [K, B] -> dict of [K, B, ...]
+            # The gather runs BEFORE the scan, not in its body: a while loop
+            # that references the resident table takes it as loop state, and
+            # XLA inserts a defensive full-table copy of any non-donated
+            # argument owned by a while loop (7.7 GB here -> chip OOM). One
+            # kernel call fetches all K batches (~160 MB), and the scan
+            # carries only that.
+            b = _gather(dds, idxs.reshape(-1))
+            return jax.tree.map(
+                lambda a: a.reshape(idxs.shape + a.shape[1:]), b)
+
         @functools.partial(jax.jit, donate_argnums=0)
         def _train_steps_dev(state, dds, idxs, rng):  # idxs [K, B]
-            def body(st, i):
-                st2, parts = base_train_step(st, _gather(dds, i), rng)
+            def body(st, batch):
+                st2, parts = base_train_step(st, batch, rng)
                 return st2, parts["loss"]
 
-            return jax.lax.scan(body, state, idxs)
+            return jax.lax.scan(body, state, _gather_group(dds, idxs))
 
         @jax.jit
         def _eval_steps_dev(state, dds, idxs):  # idxs [K, B]
-            def body(_, i):
-                parts = base_eval_step(state, _gather(dds, i))
+            def body(_, batch):
+                parts = base_eval_step(state, batch)
                 return None, (parts["loss"], parts["cmd_steer_err_sum"],
                               parts["cmd_count"])
 
-            _, outs = jax.lax.scan(body, None, idxs)
+            _, outs = jax.lax.scan(body, None, _gather_group(dds, idxs))
             return outs
 
         train_steps = lambda state, i, rng: _train_steps_dev(state, dev_train, i, rng)
