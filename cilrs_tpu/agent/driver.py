@@ -442,9 +442,16 @@ def fleet_rollout(
     want_frames: bool = False,
     loop_routes: bool = True,
     pool_batched: bool = False,
+    flat_frames: bool = False,
 ):
     """Fleet scan with the policy BATCHED over envs each tick (the fast path:
-    per-env batch-1 policy calls under vmap lower ~7x slower)."""
+    per-env batch-1 policy calls under vmap lower ~7x slower).
+
+    flat_frames: stack exported frames as [T, E, H*W*3] instead of
+    [T, E, H, W, 3]. Equally fast on TPU (measured 16.0k vs 15.7k steps/s
+    at E=64/T=50); collection paths set it because the flat rows feed the
+    resident table's [N, R, 128] gather layout without a reshape on the
+    consumer side."""
     obs_fn = lambda s, p: env_observe(
         s, net, p, cam, want_frame=want_frames or mode == "drive", mode=mode)
     act_fn = lambda s, o, nn, p: env_act(
@@ -467,6 +474,9 @@ def fleet_rollout(
             states2, outs = jax.vmap(lambda s, o, n: act_fn(s, o, n, pool))(states, obs, nn)
         if not want_frames:
             outs = {k: v for k, v in outs.items() if k != "frame"}
+        elif flat_frames:
+            outs = dict(outs)
+            outs["frame"] = outs["frame"].reshape(outs["frame"].shape[0], -1)
         return states2, outs
 
     return jax.lax.scan(tick, fleet, None, length=steps)

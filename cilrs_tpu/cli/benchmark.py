@@ -25,8 +25,9 @@ WEATHER_LABELS = {
 
 
 def main(argv=None):
-    from cilrs_tpu.cli.common import enable_compilation_cache
+    from cilrs_tpu.cli.common import enable_compilation_cache, require_accelerator
     enable_compilation_cache()
+    require_accelerator()
     p = argparse.ArgumentParser(description="CILRS-TPU 5-weather benchmark")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--duration", type=float, default=480.0)

@@ -14,8 +14,9 @@ from cilrs_tpu.data.collect import collect_session
 
 
 def main(argv=None):
-    from cilrs_tpu.cli.common import enable_compilation_cache
+    from cilrs_tpu.cli.common import enable_compilation_cache, require_accelerator
     enable_compilation_cache()
+    require_accelerator()
     p = argparse.ArgumentParser(description="CILRS-TPU fleet data collection")
     p.add_argument("--out", required=True)
     p.add_argument("--frames", type=int, default=20000)

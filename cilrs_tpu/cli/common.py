@@ -12,6 +12,27 @@ from cilrs_tpu.maps.network import RoadNetwork
 from cilrs_tpu.maps.town import make_mini_town, make_town01
 
 
+def require_accelerator(allow_cpu_env: str = "CILRS_ALLOW_CPU") -> None:
+    """Fail fast when a TPU-expected entry point silently lands on XLA:CPU.
+
+    The tunneled-TPU (axon) plugin registers from a sitecustomize on
+    PYTHONPATH; any wrapper that overrides PYTHONPATH (or clears
+    JAX_PLATFORMS) silently drops the process to CPU, where the fused
+    env-step runs ~1000x slower — a failure mode that has burned real
+    sessions by masquerading as a perf regression. Set CILRS_ALLOW_CPU=1
+    for deliberate CPU runs (tests set JAX_PLATFORMS=cpu explicitly and
+    never call this)."""
+    if os.environ.get(allow_cpu_env) or os.environ.get("JAX_PLATFORMS") == "cpu":
+        return
+    if jax.default_backend() == "cpu":
+        raise SystemExit(
+            "cilrs_tpu: default JAX backend is CPU but this entry point expects "
+            "an accelerator. If the machine tunnels a TPU via an axon "
+            "sitecustomize, keep its dir on PYTHONPATH (e.g. "
+            "PYTHONPATH=/root/.axon_site:... JAX_PLATFORMS=axon). "
+            "Set CILRS_ALLOW_CPU=1 to run on CPU anyway.")
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     """Persistent XLA compilation cache: the render+policy+dynamics megakernel
     costs ~160 s to compile cold (BENCH_r01); warm runs skip it entirely.

@@ -38,8 +38,9 @@ CHUNK_TICKS = 40  # 2 s of sim per host round trip
 
 
 def main(argv=None):
-    from cilrs_tpu.cli.common import enable_compilation_cache
+    from cilrs_tpu.cli.common import enable_compilation_cache, require_accelerator
     enable_compilation_cache()
+    require_accelerator()
     p = argparse.ArgumentParser(description="CILRS-TPU closed-loop driving")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--duration", type=float, default=120.0, help="seconds of sim time")

@@ -13,8 +13,9 @@ from cilrs_tpu.config import load_train_config
 
 
 def main(argv=None):
-    from cilrs_tpu.cli.common import enable_compilation_cache
+    from cilrs_tpu.cli.common import enable_compilation_cache, require_accelerator
     enable_compilation_cache()
+    require_accelerator()
     p = argparse.ArgumentParser(description="CILRS-TPU fused collect+train")
     p.add_argument("--map", default="town01")
     p.add_argument("--steps", type=int, default=2000, help="total train steps")

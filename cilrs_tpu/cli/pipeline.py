@@ -20,8 +20,9 @@ from cilrs_tpu.config import WEATHER_NAMES, load_train_config, weather_index
 
 
 def main(argv=None):
-    from cilrs_tpu.cli.common import enable_compilation_cache
+    from cilrs_tpu.cli.common import enable_compilation_cache, require_accelerator
     enable_compilation_cache()
+    require_accelerator()
     p = argparse.ArgumentParser(description="CILRS-TPU collect->train->eval pipeline")
     p.add_argument("--workdir", required=True)
     p.add_argument("--frames", type=int, default=150_000, help="total across weathers")
@@ -37,6 +38,9 @@ def main(argv=None):
     p.add_argument("--skip-train", action="store_true")
     p.add_argument("--skip-bench", action="store_true")
     p.add_argument("--bench-duration", type=float, default=300.0)
+    p.add_argument("--resident", action="store_true",
+                   help="collect straight into the HBM table and train from it "
+                        "(no frame bytes ever cross the device->host tunnel)")
     args = p.parse_args(argv)
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -44,6 +48,10 @@ def main(argv=None):
     timing = {}
 
     net = build_map(args.map)
+
+    if args.resident:
+        return _resident_pipeline(net, args, t_start, timing)
+
     session_dirs = [
         os.path.join(args.workdir, f"session_{w}") for w in args.collect_weathers
     ]
@@ -107,6 +115,90 @@ def main(argv=None):
     timing["total_s"] = time.time() - t_start
     with open(os.path.join(args.workdir, "pipeline_timing.json"), "w") as f:
         json.dump(timing, f, indent=2)
+    print(f"\npipeline done in {timing['total_s']:.0f}s: {timing}")
+    return timing
+
+
+def _resident_pipeline(net, args, t_start, timing):
+    """collect -> HBM table -> train -> offline report -> benchmark, one
+    process, zero frame-byte tunnel traffic (data/resident.py)."""
+    import dataclasses
+    import json as _json
+
+    import jax
+
+    from cilrs_tpu.data.resident import collect_resident, labels_dataset
+    from cilrs_tpu.evaluation.report import (
+        collect_predictions_resident, offline_report, save_report)
+    from cilrs_tpu.train.loop import train
+
+    cfg = load_train_config()
+    tcfg = cfg.training
+    if args.epochs is not None:
+        tcfg = dataclasses.replace(tcfg, epochs=args.epochs)
+    if args.batch_size is not None:
+        tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
+    cfg = dataclasses.replace(cfg, training=tcfg)
+
+    print(f"\n=== resident collect: {args.frames} frames (mixed weathers) ===")
+    t0 = time.time()
+    table, labels, stats = collect_resident(
+        net, args.frames, num_envs=args.envs, num_vehicles=args.vehicles,
+        num_pedestrians=args.walkers, weather_idx=None, seed=args.seed,
+        output_dir=os.path.join(args.workdir, "session_resident"),
+    )
+    timing["collect_s"] = time.time() - t0
+    timing["collect_frames_per_sec"] = stats["frames_per_sec"]
+
+    ckpt_dir = os.path.join(args.workdir, "ckpt")
+    report = None
+    if not args.skip_train:
+        print("\n=== train (resident table) ===")
+        t0 = time.time()
+        ds = labels_dataset(labels)
+        out = train(ds, cfg, ckpt_dir=ckpt_dir, resident=table)
+        timing["train_s"] = time.time() - t0
+        timing["best_val_loss"] = out["best_val_loss"]
+        print(f"best val loss: {out['best_val_loss']:.4f} "
+              f"in {timing['train_s']:.0f}s")
+
+        print("\n=== offline report (resident val split) ===")
+        from cilrs_tpu.data.dataset import stratified_split
+        from cilrs_tpu.train.checkpoint import restore_best_params
+        from cilrs_tpu.train.state import create_train_state
+
+        t0 = time.time()
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        state = restore_best_params(ckpt_dir, state)
+        _, val_idx = stratified_split(ds, cfg.training.val_fraction,
+                                      cfg.training.seed)
+        pred, true, cmd = collect_predictions_resident(
+            state, table, labels, val_idx, cfg.training.batch_size, cfg)
+        report = offline_report(pred, true, cmd)
+        save_report(report, os.path.join(args.workdir, "evaluation_report.json"))
+        timing["report_s"] = time.time() - t0
+        print(f"  steer MAE {report['steer']['mae']:.4f} "
+              f"corr {report['steer']['correlation']:.4f} "
+              f"({report['num_samples']} val samples)")
+
+    del table  # free ~10 GB of HBM before the closed-loop fleet compiles
+    if not args.skip_bench:
+        from cilrs_tpu.cli import benchmark as bench_cli
+
+        t0 = time.time()
+        print("\n=== closed-loop 5-weather benchmark ===")
+        bench_cli.main([
+            "--checkpoint", ckpt_dir,
+            "--duration", str(args.bench_duration),
+            "--map", args.map, "--seed", str(args.seed),
+            "--out", os.path.join(args.workdir, "RESULTS.md"),
+            "--json-out", os.path.join(args.workdir, "benchmark.json"),
+        ])
+        timing["bench_s"] = time.time() - t0
+
+    timing["total_s"] = time.time() - t_start
+    with open(os.path.join(args.workdir, "pipeline_timing.json"), "w") as f:
+        _json.dump(timing, f, indent=2)
     print(f"\npipeline done in {timing['total_s']:.0f}s: {timing}")
     return timing
 

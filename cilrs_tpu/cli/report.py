@@ -20,8 +20,9 @@ from cilrs_tpu.train.steps import make_eval_step
 
 
 def main(argv=None):
-    from cilrs_tpu.cli.common import enable_compilation_cache
+    from cilrs_tpu.cli.common import enable_compilation_cache, require_accelerator
     enable_compilation_cache()
+    require_accelerator()
     p = argparse.ArgumentParser(description="CILRS-TPU offline evaluation report")
     p.add_argument("--data", nargs="+", required=True)
     p.add_argument("--checkpoint", required=True)

@@ -15,8 +15,9 @@ from cilrs_tpu.train.loop import train
 
 
 def main(argv=None):
-    from cilrs_tpu.cli.common import enable_compilation_cache
+    from cilrs_tpu.cli.common import enable_compilation_cache, require_accelerator
     enable_compilation_cache()
+    require_accelerator()
     p = argparse.ArgumentParser(description="CILRS-TPU training")
     p.add_argument("--data", nargs="+", required=True, help="session directories")
     p.add_argument("--ckpt-dir", default="runs/cilrs")

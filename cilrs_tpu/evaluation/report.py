@@ -65,6 +65,59 @@ def save_report(report: dict, path: str):
         json.dump(report, f, indent=2)
 
 
+def collect_predictions_resident(state, table: dict, labels: dict,
+                                 idx: np.ndarray, batch: int, cfg) -> tuple:
+    """collect_predictions against a device-resident table
+    (data/resident.collect_resident): frames gather through the Pallas
+    row-gather kernel inside a scanned eval program; only the [N, 4]
+    prediction floats cross the tunnel."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from cilrs_tpu.ops.gather import gather_rows
+    from cilrs_tpu.train.steps import make_eval_step
+
+    img_shape = tuple(table["image_shape"])
+    D = int(np.prod(img_shape))
+    base_eval = make_eval_step(cfg)
+    K = 25
+
+    @functools.partial(jax.jit, static_argnames=())
+    def eval_group(state_, dds, idxs):  # idxs [K, B] global rows
+        flat = idxs.reshape(-1)
+        b = {k: dds[k][flat] for k in ("speed", "command", "controls")}
+        b["images"] = gather_rows(dds["images"], flat)[:, :D].reshape(
+            (flat.shape[0],) + img_shape)
+        b = jax.tree.map(lambda a: a.reshape(idxs.shape + a.shape[1:]), b)
+
+        def body(_, batch_):
+            return None, base_eval(state_, batch_)["pred"]
+
+        _, preds = jax.lax.scan(body, None, b)
+        return preds.reshape(-1, preds.shape[-1])
+
+    dds = {k: table[k] for k in ("images", "speed", "command", "controls")}
+    preds = []
+    group = batch * K
+    for s in range(0, len(idx), group):
+        rows = idx[s : s + group]
+        n_rows = len(rows)
+        # Pad the tail group to a batch multiple by cycling rows (np.resize
+        # repeats, so it works even when the tail is shorter than one batch);
+        # the padded predictions are trimmed right back off.
+        padded = np.resize(rows, -(-n_rows // batch) * batch)
+        out = np.asarray(eval_group(
+            state, dds, jnp.asarray(padded.reshape(-1, batch))))
+        preds.append(out[:n_rows])
+    pred = np.concatenate(preds) if preds else np.zeros((0, 4))
+    used = idx
+    true = np.concatenate(
+        [labels["controls"][used], labels["speed"][used][:, None]], axis=1)
+    return pred, true, labels["command"][used]
+
+
 def collect_predictions(state, ds, idx: np.ndarray, batch: int, eval_step) -> tuple:
     """Run eval_step over idx in batches; returns (pred [N,4], true [N,4], cmd)."""
     import jax.numpy as jnp

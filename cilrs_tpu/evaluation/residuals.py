@@ -172,7 +172,8 @@ def breakdown(data, pred, pred_speed):
 
 
 def main(argv=None):
-    from cilrs_tpu.cli.common import build_map, enable_compilation_cache
+    from cilrs_tpu.cli.common import (
+        build_map, enable_compilation_cache, require_accelerator)
     enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True)

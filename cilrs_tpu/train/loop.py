@@ -74,8 +74,17 @@ def train(
     steps_per_epoch: int | None = None,
     verbose: bool = True,
     pretrained_backbone: str | None = None,
+    resident: dict | None = None,
+    ckpt_every: int = 5,
 ) -> dict:
-    """Full training run. Returns history dict incl. best_val_loss."""
+    """Full training run. Returns history dict incl. best_val_loss.
+
+    With `resident` (a table from data/resident.collect_resident: images
+    already on device in gather_rows' [N, R, 128] layout + device labels),
+    nothing ships — train and val batches gather from the ONE shared table by
+    global index. `ds` then carries only host labels (images=None) for the
+    stratified split and the weighted sampler.
+    """
     cfg = cfg or TrainConfig()
     mesh = mesh or make_mesh()
     bspec = batch_spec(mesh)
@@ -123,7 +132,49 @@ def train(
     # Multi-device meshes keep host batching with a prefetch thread (the batch
     # shards over the data axis).
     dev_resident = n_dev == 1
-    if dev_resident:
+    if resident is not None:
+        assert n_dev == 1, "resident-table training is the single-chip path"
+        from cilrs_tpu.ops.gather import gather_rows
+
+        img_shape = tuple(resident["image_shape"])
+        D = int(np.prod(img_shape))
+        dev_train = dev_val = {
+            k: resident[k] for k in ("images", "speed", "command", "controls")
+        }
+        val_res = val_idx  # global indices into the shared table
+
+        def _gather(dds, idx):
+            b = {k: v[idx] for k, v in dds.items() if k != "images"}
+            b["images"] = gather_rows(dds["images"], idx)[:, :D].reshape(
+                (idx.shape[0],) + img_shape)
+            return b
+
+        def _gather_group(dds, idxs):  # idxs [K, B] -> dict of [K, B, ...]
+            b = _gather(dds, idxs.reshape(-1))
+            return jax.tree.map(
+                lambda a: a.reshape(idxs.shape + a.shape[1:]), b)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def _train_steps_dev(state, dds, idxs, rng):  # idxs [K, B] global
+            def body(st, batch):
+                st2, parts = base_train_step(st, batch, rng)
+                return st2, parts["loss"]
+
+            return jax.lax.scan(body, state, _gather_group(dds, idxs))
+
+        @jax.jit
+        def _eval_steps_dev(state, dds, idxs):  # idxs [K, B] global
+            def body(_, batch):
+                parts = base_eval_step(state, batch)
+                return None, (parts["loss"], parts["cmd_steer_err_sum"],
+                              parts["cmd_count"])
+
+            _, outs = jax.lax.scan(body, None, _gather_group(dds, idxs))
+            return outs
+
+        train_steps = lambda state, i, rng: _train_steps_dev(state, dev_train, i, rng)
+        eval_steps = lambda state, i: _eval_steps_dev(state, dev_val, i)
+    elif dev_resident:
         frame_bytes = int(np.prod(ds.images.shape[1:]))
         # 16 GB v5e HBM minus model+opt (~0.3 GB) and step workspace: the flat
         # uint8 layout has no tile padding, so a 180K-frame dataset's full 85%
@@ -239,11 +290,14 @@ def train(
         t0 = time.time()
         train_losses = []
         if dev_resident:
-            # `it` are LOCAL positions within train_idx — the resident
-            # arrays were shipped in that order. Grouped K to a dispatch.
+            # `it` are LOCAL positions within train_idx. The shipped-split
+            # path stores arrays in train_idx order (local == row); the
+            # shared-table path indexes the one collection table globally.
             its = list(sampler.epoch(spe))
             for s in range(0, len(its), STEPS_PER_CALL):
                 grp = np.stack(its[s : s + STEPS_PER_CALL])
+                if resident is not None:
+                    grp = train_idx[grp]
                 state, losses = train_steps(state, jnp.asarray(grp), rng)
                 train_losses.append(losses)  # [K] device array; sync at epoch end
         else:
@@ -259,7 +313,12 @@ def train(
         # Validation (full pass, fixed order). When the val split is smaller
         # than one batch, wrap around so at least one (padded) batch runs.
         val_losses, err_sum, cnt = [], np.zeros(4), np.zeros(4)
-        vsrc = np.arange(len(val_res)) if dev_resident else val_idx
+        if resident is not None:
+            vsrc = val_idx  # global rows of the shared table
+        elif dev_resident:
+            vsrc = np.arange(len(val_res))
+        else:
+            vsrc = val_idx
         if len(vsrc) < B:
             val_iter = [np.resize(vsrc, B)]
         else:
@@ -295,8 +354,17 @@ def train(
         else:
             patience += 1
         if ckpt_dir:
-            ckpt.save_checkpoint(ckpt_dir, state, epoch + 1, val_loss,
-                                 extra={"cmd_steer_errors": cmd_err}, is_best=improved)
+            # Best slot on improvement; rolling latest slot (resume point)
+            # only every ckpt_every epochs + at the end — each slot write
+            # costs a ~75 s train-state pull through the tunnel.
+            want_latest = ((epoch + 1) % ckpt_every == 0
+                           or epoch + 1 == cfg.training.epochs
+                           or patience >= cfg.training.early_stop_patience)
+            if improved or want_latest:
+                ckpt.save_checkpoint(
+                    ckpt_dir, state, epoch + 1, val_loss,
+                    extra={"cmd_steer_errors": cmd_err}, is_best=improved,
+                    latest=want_latest)
         if patience >= cfg.training.early_stop_patience:
             if verbose:
                 print(f"  early stop at epoch {epoch + 1}")

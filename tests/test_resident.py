@@ -1,0 +1,109 @@
+"""Resident collect->train path: frames never leave the device.
+
+data/resident.py scatter-compacts rendered frames straight into the flat
+[N, R, 128] table layout ops/gather.py reads; train/loop.py's `resident` mode
+and evaluation/report.py's resident prediction pass batch-gather from that one
+shared table. These tests run the whole loop on tiny shapes and check the
+compaction against the disk collector's keep semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cilrs_tpu.config import ModelConfig, TrainConfig, TrainingConfig
+from cilrs_tpu.data.resident import collect_resident, labels_dataset
+from cilrs_tpu.data.dataset import stratified_split
+from cilrs_tpu.evaluation.report import collect_predictions_resident, offline_report
+from cilrs_tpu.ops.gather import LANE, padded_row_elems
+from cilrs_tpu.parallel.mesh import make_mesh
+from cilrs_tpu.render.camera import CameraSpec
+from cilrs_tpu.train.loop import train
+
+TINY_CAM = CameraSpec(width=64, height=32)
+TINY_CFG = TrainConfig(
+    model=ModelConfig(dropout=0.0, image_height=32, image_width=64,
+                      stage_sizes=(1, 1, 1, 1)),
+    training=TrainingConfig(batch_size=16, epochs=1),
+)
+
+
+@pytest.fixture(scope="module")
+def resident_out(mini_town, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("resident_session"))
+    table, labels, stats = collect_resident(
+        mini_town, num_frames=160, num_envs=2, num_vehicles=4,
+        num_pedestrians=2, weather_idx=0, seed=3, chunk_steps=50,
+        cam=TINY_CAM, output_dir=out, verbose=False,
+    )
+    return table, labels, stats, out
+
+
+def test_table_layout_and_compaction(resident_out):
+    table, labels, stats, _ = resident_out
+    D = 32 * 64 * 3
+    R = padded_row_elems(D, np.uint8) // LANE
+    # 160 dataset rows + one chunk (2 envs x 50 ticks) of DUS slack.
+    assert table["images"].shape == (160 + 100, R, LANE)
+    assert table["images"].dtype == jnp.uint8
+    assert table["image_shape"] == (32, 64, 3)
+    # Compaction: every dataset row [0, N) is a kept (moving, nominal)
+    # frame — no invalid slots, unlike the fused ring's masked writes.
+    assert stats["frames"] == 160
+    assert len(labels["speed_kmh"]) == 160
+    assert np.all(labels["speed_kmh"] > 0.5)
+    assert 0.0 < stats["keep_fraction"] <= 1.0
+    # Labels in range; commands one of the 4 reference classes.
+    assert set(np.unique(labels["command"])).issubset({0, 1, 2, 3})
+    assert np.abs(labels["controls"][:, 0]).max() <= 1.0
+    assert np.all(labels["speed"] >= 0.0) and np.all(labels["speed"] <= 1.0)
+    # Device labels mirror host labels over the dataset rows.
+    np.testing.assert_allclose(np.asarray(table["speed"])[:160], labels["speed"])
+    # Rows hold real pixels (a rendered frame is never all-zero).
+    assert np.asarray(jnp.sum(table["images"][0])) > 0
+    assert np.asarray(jnp.sum(table["images"][159])) > 0
+
+
+def test_session_csv_parity(resident_out):
+    import os
+
+    _, _, _, out = resident_out
+    header = open(os.path.join(out, "measurements.csv")).readline().strip()
+    assert header == ("frame,image_filename,steer,throttle,brake,speed_kmh,"
+                      "speed_normalized,high_level_command,command_name,"
+                      "position_x,position_y,position_z,yaw,timestamp")
+    rows = open(os.path.join(out, "measurements.csv")).readlines()
+    assert len(rows) == 161  # header + 160 frames
+    assert "resident#0" in rows[1]
+    assert os.path.exists(os.path.join(out, "aux.csv"))
+    assert "Command distribution" in open(os.path.join(out, "summary.txt")).read()
+
+
+def test_train_and_report_from_table(resident_out, tmp_path):
+    table, labels, _, _ = resident_out
+    ds = labels_dataset(labels)
+    out = train(ds, TINY_CFG, ckpt_dir=str(tmp_path / "ck"), steps_per_epoch=4,
+                verbose=False, mesh=make_mesh(1), resident=table)
+    assert np.isfinite(out["best_val_loss"])
+
+    _, val_idx = stratified_split(ds, 0.15, 42)
+    pred, true, cmd = collect_predictions_resident(
+        out["state"], table, labels, val_idx, 8, TINY_CFG)
+    assert pred.shape == true.shape and pred.shape[1] == 4
+    assert np.all(np.isfinite(pred))
+    report = offline_report(pred, true, cmd)
+    assert "steer" in report and np.isfinite(report["steer"]["mae"])
+
+
+def test_resident_gather_matches_table(resident_out):
+    """A gathered train batch must equal direct row reads of the table."""
+    from cilrs_tpu.ops.gather import gather_rows
+
+    table, labels, _, _ = resident_out
+    idx = jnp.asarray([0, 7, 159, 33])
+    rows = np.asarray(gather_rows(table["images"], idx))
+    direct = np.asarray(table["images"])[np.asarray(idx)].reshape(4, -1)
+    np.testing.assert_array_equal(rows, direct)
+    D = 32 * 64 * 3
+    imgs = rows[:, :D].reshape(4, 32, 64, 3)
+    assert imgs.sum() > 0

@@ -19,9 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from cilrs_tpu.cli.common import enable_compilation_cache
+from cilrs_tpu.cli.common import enable_compilation_cache, require_accelerator
 
 enable_compilation_cache()
+require_accelerator()
 
 import jax
 import jax.numpy as jnp

@@ -16,9 +16,10 @@ import time
 
 import numpy as np
 
-from cilrs_tpu.cli.common import enable_compilation_cache
+from cilrs_tpu.cli.common import enable_compilation_cache, require_accelerator
 
 enable_compilation_cache()
+require_accelerator()
 
 import jax
 import jax.numpy as jnp
