@@ -141,14 +141,23 @@ def collect_resident(
         "yaw": jnp.zeros((n_slots,), jnp.float32),
         "obstacle_dist": jnp.zeros((n_slots,), jnp.float32),
         "tl_state": jnp.zeros((n_slots,), jnp.int32),
+        # Provenance for the label-noise tooling: interleaved envs put
+        # temporally-adjacent frames of one env ~num_envs CSV rows apart, so a
+        # row-distance exclusion can't identify "the same pass through this
+        # state" — env id + absolute tick can (tools/label_noise_floor.py).
+        "env": jnp.zeros((n_slots,), jnp.int32),
+        "tick": jnp.zeros((n_slots,), jnp.int32),
     }
+    # Flat chunk rows are ordered (t, e): row = t * num_envs + e.
+    env_ids = jnp.tile(jnp.arange(num_envs, dtype=jnp.int32), chunk_steps)
+    tick_ids = jnp.repeat(jnp.arange(chunk_steps, dtype=jnp.int32), num_envs)
 
     def _dus(dst, upd, cursor):
         idx = (cursor,) + (jnp.asarray(0, jnp.int32),) * (dst.ndim - 1)
         return jax.lax.dynamic_update_slice(dst, upd, idx)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def chunk(tbl, ax, fl, cursor):
+    def chunk(tbl, ax, fl, cursor, base_tick):
         fl2, outs = fleet_rollout(
             fl, chunk_steps, net, pool_stack, wt, params,
             mode="collect", cam=cam, want_frames=True, pool_batched=True,
@@ -178,6 +187,8 @@ def collect_resident(
                                   flat(outs["obstacle_dist"])[perm], cursor),
             "tl_state": _dus(ax["tl_state"],
                              flat(outs["tl_state"]).astype(jnp.int32)[perm], cursor),
+            "env": _dus(ax["env"], env_ids[perm], cursor),
+            "tick": _dus(ax["tick"], (base_tick + tick_ids)[perm], cursor),
         }
         return tbl2, ax2, fl2, cursor + jnp.sum(keep.astype(jnp.int32))
 
@@ -187,7 +198,9 @@ def collect_resident(
     max_chunks = 20 * (N // M + 1)
     filled = 0
     while filled < N:
-        table, aux, fleet, cursor = chunk(table, aux, fleet, cursor)
+        table, aux, fleet, cursor = chunk(
+            table, aux, fleet, cursor,
+            jnp.asarray(chunks * chunk_steps, jnp.int32))
         if chunks == 0:
             jax.block_until_ready(cursor)
             compile_s = time.time() - t0
@@ -279,10 +292,11 @@ def _write_session_csv(output_dir: str, labels: dict, stats: dict,
             ])
     with open(os.path.join(output_dir, "aux.csv"), "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["frame", "obstacle_dist", "tl_state"])
+        w.writerow(["frame", "obstacle_dist", "tl_state", "env", "tick"])
         for k in range(n):
             w.writerow([k, f"{labels['obstacle_dist'][k]:.3f}",
-                        int(labels["tl_state"][k])])
+                        int(labels["tl_state"][k]),
+                        int(labels["env"][k]), int(labels["tick"][k])])
     wname = "mixed" if weather_idx is None else WEATHER_NAMES[weather_idx]
     lines = [
         "=" * 50,

@@ -35,6 +35,9 @@ def load_sessions(paths):
                 a = pd.read_csv(aux)
                 df["obstacle_dist"] = a["obstacle_dist"].to_numpy()
                 df["tl_state"] = a["tl_state"].to_numpy()
+                if "env" in a.columns:  # resident sessions interleave envs
+                    df["env"] = a["env"].to_numpy()
+                    df["tick"] = a["tick"].to_numpy()
             dfs.append(df)
     if not dfs:
         sys.exit("no measurements.csv found in given paths")
@@ -59,6 +62,14 @@ def match_pairs(df, pos_tol=0.75, yaw_tol=3.0, speed_tol=1.5, max_pairs=200_000)
         od = df["obstacle_dist"].to_numpy()
         tl = df["tl_state"].to_numpy()
         od_far = od > 25.0  # beyond any teacher gate at <=30 km/h
+    # Resident sessions interleave envs in row order: "the same pass through a
+    # state" is same env + nearby tick, not a nearby CSV row (adjacent ticks of
+    # one env sit num_envs rows apart and would slip a row-distance exclusion,
+    # biasing the floor low with autocorrelated labels).
+    has_env = "env" in df.columns
+    if has_env:
+        env = df["env"].to_numpy()
+        tick = df["tick"].to_numpy()
 
     cell = pos_tol
     keys = np.floor(pos / cell).astype(np.int64)
@@ -78,10 +89,14 @@ def match_pairs(df, pos_tol=0.75, yaw_tol=3.0, speed_tol=1.5, max_pairs=200_000)
             for j in cand[a_pos + 1:]:
                 if cmd[i] != cmd[j]:
                     continue
-                # Same session AND nearby frame index = the same pass through
-                # this state (labels trivially autocorrelated) — exclude.
-                if sess[i] == sess[j] and abs(int(frame[i]) - int(frame[j])) < 50:
-                    continue
+                # Same session AND the same pass through this state (labels
+                # trivially autocorrelated) — exclude.
+                if sess[i] == sess[j]:
+                    if has_env:
+                        if env[i] == env[j] and abs(int(tick[i]) - int(tick[j])) < 50:
+                            continue
+                    elif abs(int(frame[i]) - int(frame[j])) < 50:
+                        continue
                 if np.hypot(*(pos[i] - pos[j])) > pos_tol:
                     continue
                 dyaw = abs((yaw[i] - yaw[j] + 180.0) % 360.0 - 180.0)
