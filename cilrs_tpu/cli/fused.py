@@ -25,6 +25,9 @@ def main(argv=None):
     p.add_argument("--buffer", type=int, default=65536)
     p.add_argument("--collect-ticks", type=int, default=20)
     p.add_argument("--train-per-chunk", type=int, default=4)
+    p.add_argument("--settle-fraction", type=float, default=0.25,
+                   help="tail fraction of train steps run with collection "
+                        "frozen (multi-epoch pass over the final ring)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--history-json", default=None)
@@ -58,6 +61,7 @@ def main(argv=None):
         collect_ticks=args.collect_ticks,
         train_steps_per_chunk=args.train_per_chunk,
         total_train_steps=args.steps, seed=args.seed,
+        settle_fraction=args.settle_fraction,
         mesh=mesh,
     )
     print(f"\nfused run: {out['frames_collected']:,} frames collected, "

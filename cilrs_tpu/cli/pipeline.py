@@ -41,6 +41,9 @@ def main(argv=None):
     p.add_argument("--resident", action="store_true",
                    help="collect straight into the HBM table and train from it "
                         "(no frame bytes ever cross the device->host tunnel)")
+    p.add_argument("--hard-boost", type=float, default=None,
+                   help="extra sampling weight on big-steer/braking frames "
+                        "(TrainingConfig.hard_frame_boost; 0 = reference parity)")
     args = p.parse_args(argv)
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -138,6 +141,8 @@ def _resident_pipeline(net, args, t_start, timing):
         tcfg = dataclasses.replace(tcfg, epochs=args.epochs)
     if args.batch_size is not None:
         tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
+    if args.hard_boost is not None:
+        tcfg = dataclasses.replace(tcfg, hard_frame_boost=args.hard_boost)
     cfg = dataclasses.replace(cfg, training=tcfg)
 
     print(f"\n=== resident collect: {args.frames} frames (mixed weathers) ===")

@@ -136,6 +136,11 @@ class TrainingConfig:
     # Extra sampling weight on big-steer/braking frames (0 = reference parity,
     # command-frequency weighting only). See data.dataset.command_weights.
     hard_frame_boost: float = 0.0
+    # Evaluate/deploy a Polyak average of the params instead of the raw
+    # iterate (the fused loop measured it both steadier and better; the best
+    # checkpoint slot then holds the averaged params, the latest slot keeps
+    # the raw resume state).
+    ema_eval: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -205,6 +205,7 @@ def fused_collect_train(
     train_steps_per_chunk: int = 4,
     total_train_steps: int = 2_000,
     warmup_chunks: int = 24,
+    settle_fraction: float = 0.25,
     seed: int = 0,
     cam: CameraSpec = CAMERA,
     eval_every: int = 200,
@@ -461,10 +462,20 @@ def fused_collect_train(
     val_set = jax.tree.map(lambda x: x.block_until_ready(), val_set)
     del vbuf, vfleet  # free the 3-ish GB val ring before training starts
 
+    # Settle tail: the streaming phase is effectively one-pass (each frame is
+    # sampled ~train_steps_per_chunk*B/chunk_frames times before the ring
+    # recycles it), which underfits relative to the multi-epoch offline path —
+    # r2's fused holdout plateaued at 0.166 vs 0.131 disk-trained on the same
+    # data distribution. The last settle_fraction of the step budget freezes
+    # collection and keeps training on the final ring (a bounded multi-epoch
+    # pass over the freshest buffer_frames), with the cosine schedule riding
+    # to its end value as usual.
+    stream_steps = int(total_train_steps * (1.0 - settle_fraction))
     steps_done = 0
     t1 = time.time()
     while steps_done < total_train_steps:
-        fleet, buf = collect_chunk(fleet, buf, net, pool_stack)
+        if steps_done < stream_steps:
+            fleet, buf = collect_chunk(fleet, buf, net, pool_stack)
         key, k = jax.random.split(key)
         tstate, loss = train_chunk(tstate, buf, k, None)
         # Ramped decay (min(d, (1+n)/(10+n))): the average forgets the random

@@ -118,6 +118,33 @@ def train(
     base_train_step = make_train_step(cfg)
     base_eval_step = make_eval_step(cfg)
 
+    # Polyak-averaged eval/deploy params (train/fused.py measured the EMA
+    # iterate steadier AND better on holdout than the raw iterate). Params and
+    # batch stats average together — averaged params with the latest BN
+    # running stats is inconsistent. jnp.copy: state is donated into the
+    # resident train dispatch, which would invalidate an aliased tree.
+    use_ema = cfg.training.ema_eval
+    if use_ema:
+        ema = jax.tree.map(jnp.copy, {"params": state.params,
+                                      "batch_stats": state.batch_stats})
+        ema_updates = 0
+
+        @jax.jit
+        def _ema_update(e, s, d):
+            cur = {"params": s.params, "batch_stats": s.batch_stats}
+            return jax.tree.map(lambda a, b: d * a + (1.0 - d) * b, e, cur)
+
+    def _ema_after(st, steps_in_dispatch):
+        # Ramped decay (min(d, (1+n)/(10+n))): forgets the random init fast
+        # instead of carrying its bias for ~1/(1-d) dispatches.
+        nonlocal ema, ema_updates
+        if not use_ema:
+            return
+        ema_updates += 1
+        d = min(0.999 ** steps_in_dispatch,
+                (1.0 + ema_updates) / (10.0 + ema_updates))
+        ema = _ema_update(ema, st, d)
+
     # Device-resident dataset (single-accelerator path): per-step host
     # batching is pathological here twice over: the one-core host + tunneled
     # TPU make each 6 MB transfer cost ~180 ms (10x the step's compute), and
@@ -299,6 +326,7 @@ def train(
                 if resident is not None:
                     grp = train_idx[grp]
                 state, losses = train_steps(state, jnp.asarray(grp), rng)
+                _ema_after(state, len(grp))
                 train_losses.append(losses)  # [K] device array; sync at epoch end
         else:
             batches = _prefetch(
@@ -306,13 +334,18 @@ def train(
                 lambda it: _device_batch(ds, train_idx[it], bspec))
             for batch in batches:
                 state, parts = train_step(state, batch, rng)
+                _ema_after(state, 1)
                 train_losses.append(parts["loss"])
         train_loss = float(np.mean(np.concatenate(
             [np.atleast_1d(np.asarray(l)) for l in train_losses])))
 
-        # Validation (full pass, fixed order). When the val split is smaller
-        # than one batch, wrap around so at least one (padded) batch runs.
-        val_losses, err_sum, cnt = [], np.zeros(4), np.zeros(4)
+        # Validation (full pass, fixed order) on the EMA iterate when enabled —
+        # the deployed params are then exactly what the val numbers measured.
+        # When the val split is smaller than one batch, wrap around so at
+        # least one (padded) batch runs.
+        eval_state = (state.replace(params=ema["params"],
+                                    batch_stats=ema["batch_stats"])
+                      if use_ema else state)
         if resident is not None:
             vsrc = val_idx  # global rows of the shared table
         elif dev_resident:
@@ -323,29 +356,41 @@ def train(
             val_iter = [np.resize(vsrc, B)]
         else:
             val_iter = [vsrc[s : s + B] for s in range(0, len(vsrc) - B + 1, B)]
-        if dev_resident:
-            losses, errs, cnts = eval_steps(
-                state, jnp.asarray(np.stack(val_iter)))
-            val_losses = [float(l) for l in np.asarray(losses)]
-            err_sum += np.asarray(errs).sum(axis=0)
-            cnt += np.asarray(cnts).sum(axis=0)
-        else:
-            for parts in (eval_step(state, b) for b in _prefetch(
-                    val_iter, lambda vidx: _device_batch(ds, vidx, bspec))):
-                val_losses.append(float(parts["loss"]))
-                err_sum += np.asarray(parts["cmd_steer_err_sum"])
-                cnt += np.asarray(parts["cmd_count"])
-        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+
+        def _run_val(st):
+            val_losses, err_sum, cnt = [], np.zeros(4), np.zeros(4)
+            if dev_resident:
+                losses, errs, cnts = eval_steps(
+                    st, jnp.asarray(np.stack(val_iter)))
+                val_losses = [float(l) for l in np.asarray(losses)]
+                err_sum += np.asarray(errs).sum(axis=0)
+                cnt += np.asarray(cnts).sum(axis=0)
+            else:
+                for parts in (eval_step(st, b) for b in _prefetch(
+                        val_iter, lambda vidx: _device_batch(ds, vidx, bspec))):
+                    val_losses.append(float(parts["loss"]))
+                    err_sum += np.asarray(parts["cmd_steer_err_sum"])
+                    cnt += np.asarray(parts["cmd_count"])
+            vl = float(np.mean(val_losses)) if val_losses else float("nan")
+            return vl, err_sum, cnt
+
+        val_loss, err_sum, cnt = _run_val(eval_state)
+        # Raw-iterate val alongside the EMA one: one extra ~2 s pass that
+        # makes an EMA that lags or diverges visible immediately instead of
+        # surfacing as a mysteriously flat best-val.
+        val_loss_raw = _run_val(state)[0] if use_ema else val_loss
         cmd_err = {COMMAND_NAMES[i]: float(err_sum[i] / max(cnt[i], 1)) for i in range(4)}
 
         ep_time = time.time() - t0
         history.append({
             "epoch": epoch + 1, "train_loss": train_loss, "val_loss": val_loss,
-            "time_s": ep_time, **{f"steer_err_{k}": v for k, v in cmd_err.items()},
+            "val_loss_raw": val_loss_raw, "time_s": ep_time,
+            **{f"steer_err_{k}": v for k, v in cmd_err.items()},
         })
         if verbose:
+            raw_note = f" raw {val_loss_raw:.4f}" if use_ema else ""
             print(f"  epoch {epoch + 1}/{cfg.training.epochs}: train {train_loss:.4f} "
-                  f"val {val_loss:.4f} ({ep_time:.1f}s) cmd_err {cmd_err}")
+                  f"val {val_loss:.4f}{raw_note} ({ep_time:.1f}s) cmd_err {cmd_err}")
 
         improved = val_loss < best_val
         if improved:
@@ -360,11 +405,24 @@ def train(
             want_latest = ((epoch + 1) % ckpt_every == 0
                            or epoch + 1 == cfg.training.epochs
                            or patience >= cfg.training.early_stop_patience)
-            if improved or want_latest:
+            if want_latest:
+                # Latest slot = RAW resume state (resuming from averaged
+                # params would restart optimization off-trajectory).
                 ckpt.save_checkpoint(
                     ckpt_dir, state, epoch + 1, val_loss,
-                    extra={"cmd_steer_errors": cmd_err}, is_best=improved,
-                    latest=want_latest)
+                    extra={"cmd_steer_errors": cmd_err}, is_best=False,
+                    latest=True)
+            if improved:
+                # Best slot = the params val_loss actually measured (EMA
+                # when enabled) — the deployment artifact.
+                ckpt.save_checkpoint(
+                    ckpt_dir, eval_state, epoch + 1, val_loss,
+                    extra={"cmd_steer_errors": cmd_err}, is_best=True,
+                    latest=False)
+        if ckpt_dir:
+            # Rewritten every epoch (a few KB): a run killed mid-way keeps
+            # its learning curve — r3b died at epoch 18 and left nothing.
+            _write_history(os.path.join(ckpt_dir, "training_history.csv"), history)
         if patience >= cfg.training.early_stop_patience:
             if verbose:
                 print(f"  early stop at epoch {epoch + 1}")
@@ -379,7 +437,13 @@ def train(
         except Exception as e:  # matplotlib optional
             if verbose:
                 print(f"  (training curves skipped: {e})")
-    return {"history": history, "best_val_loss": best_val, "state": state}
+    # `state` is the raw final iterate (resume point); `eval_state` carries
+    # the deployed params — the EMA average when enabled, else the same state.
+    final_eval = (state.replace(params=ema["params"],
+                                batch_stats=ema["batch_stats"])
+                  if use_ema else state)
+    return {"history": history, "best_val_loss": best_val, "state": state,
+            "eval_state": final_eval}
 
 
 def _write_history(path: str, history: list[dict]):
