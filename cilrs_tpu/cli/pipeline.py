@@ -44,6 +44,14 @@ def main(argv=None):
     p.add_argument("--hard-boost", type=float, default=None,
                    help="extra sampling weight on big-steer/braking frames "
                         "(TrainingConfig.hard_frame_boost; 0 = reference parity)")
+    p.add_argument("--refresh-every", type=int, default=0,
+                   help="resident mode: re-collect the train table every N "
+                        "epochs (fresh frames, fixed val snapshot) — the "
+                        "on-device simulator makes data effectively free")
+    p.add_argument("--report-frames", type=int, default=0,
+                   help="resident mode: also run the offline report on this "
+                        "many FRESHLY collected held-out frames (never seen "
+                        "by training or the split) -> evaluation_report_fresh.json")
     args = p.parse_args(argv)
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -129,6 +137,7 @@ def _resident_pipeline(net, args, t_start, timing):
     import json as _json
 
     import jax
+    import numpy as np
 
     from cilrs_tpu.data.resident import collect_resident, labels_dataset
     from cilrs_tpu.evaluation.report import (
@@ -161,7 +170,22 @@ def _resident_pipeline(net, args, t_start, timing):
         print("\n=== train (resident table) ===")
         t0 = time.time()
         ds = labels_dataset(labels)
-        out = train(ds, cfg, ckpt_dir=ckpt_dir, resident=table)
+
+        def refresh_fn(i):
+            t, lab, _ = collect_resident(
+                net, args.frames, num_envs=args.envs,
+                num_vehicles=args.vehicles, num_pedestrians=args.walkers,
+                weather_idx=None, seed=args.seed + 1009 * i)
+            return t, labels_dataset(lab)
+
+        # Hand the table over WITHOUT keeping a local reference: with
+        # --refresh-every the trainer frees it before each re-collect, and a
+        # ref held here would pin 8 GB of HBM through that collect (OOM).
+        holder = [table]
+        del table
+        out = train(ds, cfg, ckpt_dir=ckpt_dir, resident=holder.pop(),
+                    refresh_fn=refresh_fn if args.refresh_every else None,
+                    refresh_every=args.refresh_every)
         timing["train_s"] = time.time() - t0
         timing["best_val_loss"] = out["best_val_loss"]
         print(f"best val loss: {out['best_val_loss']:.4f} "
@@ -177,16 +201,46 @@ def _resident_pipeline(net, args, t_start, timing):
         state = restore_best_params(ckpt_dir, state)
         _, val_idx = stratified_split(ds, cfg.training.val_fraction,
                                       cfg.training.seed)
+        # The report reads the trainer's val SNAPSHOT (local rows 0..V-1):
+        # the collection table itself may have been swapped away by refresh.
+        val_table = out["val_table"]
+        val_labels = {k: labels[k][val_idx]
+                      for k in ("controls", "speed", "command")}
         pred, true, cmd = collect_predictions_resident(
-            state, table, labels, val_idx, cfg.training.batch_size, cfg)
+            state, val_table, val_labels, np.arange(len(val_idx)),
+            cfg.training.batch_size, cfg)
         report = offline_report(pred, true, cmd)
         save_report(report, os.path.join(args.workdir, "evaluation_report.json"))
         timing["report_s"] = time.time() - t0
         print(f"  steer MAE {report['steer']['mae']:.4f} "
               f"corr {report['steer']['correlation']:.4f} "
               f"({report['num_samples']} val samples)")
+        out = val_table = None  # free val snapshot + train state refs
 
-    del table  # free ~10 GB of HBM before the closed-loop fleet compiles
+        if args.report_frames:
+            # Fresh-holdout report: frames from a seed no training collection
+            # used — a strictly harder protocol than a split of the training
+            # sessions (generalization to unseen scenarios, not unseen rows).
+            print(f"\n=== offline report ({args.report_frames} fresh frames) ===")
+            t0 = time.time()
+            ftable, flabels, _ = collect_resident(
+                net, args.report_frames, num_envs=args.envs,
+                num_vehicles=args.vehicles, num_pedestrians=args.walkers,
+                weather_idx=None, seed=args.seed + 777_777)
+            pred, true, cmd = collect_predictions_resident(
+                state, ftable, flabels, np.arange(args.report_frames),
+                cfg.training.batch_size, cfg)
+            fresh = offline_report(pred, true, cmd)
+            save_report(fresh, os.path.join(args.workdir,
+                                            "evaluation_report_fresh.json"))
+            timing["report_fresh_s"] = time.time() - t0
+            print(f"  fresh steer MAE {fresh['steer']['mae']:.4f} "
+                  f"corr {fresh['steer']['correlation']:.4f} "
+                  f"({fresh['num_samples']} samples)")
+            del ftable
+        state = None
+    else:
+        del table  # free ~10 GB of HBM before the closed-loop fleet compiles
     if not args.skip_bench:
         from cilrs_tpu.cli import benchmark as bench_cli
 

@@ -76,14 +76,26 @@ def train(
     pretrained_backbone: str | None = None,
     resident: dict | None = None,
     ckpt_every: int = 5,
+    refresh_fn=None,
+    refresh_every: int = 0,
 ) -> dict:
     """Full training run. Returns history dict incl. best_val_loss.
 
     With `resident` (a table from data/resident.collect_resident: images
     already on device in gather_rows' [N, R, 128] layout + device labels),
-    nothing ships — train and val batches gather from the ONE shared table by
-    global index. `ds` then carries only host labels (images=None) for the
+    nothing ships — train batches gather from the resident table by global
+    index, and the val rows are snapshotted once into an independent compact
+    table. `ds` then carries only host labels (images=None) for the
     stratified split and the weighted sampler.
+
+    With `refresh_fn` (resident mode only), every `refresh_every` epochs the
+    train table is SWAPPED for freshly collected frames: refresh_fn(i) must
+    return (table, labels_ds) — a new collect_resident table plus its
+    labels_dataset. The simulator is first-party device code here, so data is
+    effectively free; refreshing turns a fixed 150K-frame dataset into an
+    unbounded one (every epoch group sees unseen frames — the BC overfit the
+    reference combats with augmentation largely disappears). The val snapshot
+    never changes, so val_loss stays comparable across refreshes.
     """
     cfg = cfg or TrainConfig()
     mesh = mesh or make_mesh()
@@ -159,16 +171,33 @@ def train(
     # Multi-device meshes keep host batching with a prefetch thread (the batch
     # shards over the data axis).
     dev_resident = n_dev == 1
-    if resident is not None:
+    res_mode = resident is not None
+    if res_mode:
         assert n_dev == 1, "resident-table training is the single-chip path"
-        from cilrs_tpu.ops.gather import gather_rows
+        from cilrs_tpu.ops.gather import LANE, gather_rows
 
         img_shape = tuple(resident["image_shape"])
         D = int(np.prod(img_shape))
-        dev_train = dev_val = {
+        dev_train = {
             k: resident[k] for k in ("images", "speed", "command", "controls")
         }
-        val_res = val_idx  # global indices into the shared table
+        resident = None  # must not pin the table once refresh_fn swaps it
+
+        # Val rows snapshot into an independent compact table (~val_fraction
+        # of the collection): what val_loss measures never changes when
+        # refresh_fn swaps the train table underneath.
+        @jax.jit
+        def _snap_val(dds, idx):
+            rows = gather_rows(dds["images"], idx)  # [V, D_pad]
+            return {
+                "images": rows.reshape(rows.shape[0], -1, LANE),
+                "speed": dds["speed"][idx],
+                "command": dds["command"][idx],
+                "controls": dds["controls"][idx],
+            }
+
+        dev_val = jax.block_until_ready(
+            _snap_val(dev_train, jnp.asarray(val_idx)))
 
         def _gather(dds, idx):
             b = {k: v[idx] for k, v in dds.items() if k != "images"}
@@ -312,6 +341,7 @@ def train(
 
     history = []
     patience = 0
+    refresh_round = 1
     STEPS_PER_CALL = 25
     for epoch in range(start_epoch, cfg.training.epochs):
         t0 = time.time()
@@ -323,7 +353,7 @@ def train(
             its = list(sampler.epoch(spe))
             for s in range(0, len(its), STEPS_PER_CALL):
                 grp = np.stack(its[s : s + STEPS_PER_CALL])
-                if resident is not None:
+                if res_mode:
                     grp = train_idx[grp]
                 state, losses = train_steps(state, jnp.asarray(grp), rng)
                 _ema_after(state, len(grp))
@@ -346,8 +376,8 @@ def train(
         eval_state = (state.replace(params=ema["params"],
                                     batch_stats=ema["batch_stats"])
                       if use_ema else state)
-        if resident is not None:
-            vsrc = val_idx  # global rows of the shared table
+        if res_mode:
+            vsrc = np.arange(len(val_idx))  # rows of the val snapshot table
         elif dev_resident:
             vsrc = np.arange(len(val_res))
         else:
@@ -427,6 +457,24 @@ def train(
             if verbose:
                 print(f"  early stop at epoch {epoch + 1}")
             break
+        if (res_mode and refresh_fn is not None and refresh_every > 0
+                and (epoch + 1) % refresh_every == 0
+                and epoch + 1 < cfg.training.epochs):
+            dev_train = None  # free the multi-GB table before collecting anew
+            t_r = time.time()
+            new_table, new_ds = refresh_fn(refresh_round)
+            refresh_round += 1
+            dev_train = {k: new_table[k]
+                         for k in ("images", "speed", "command", "controls")}
+            del new_table
+            train_idx = np.arange(len(new_ds))
+            sampler = WeightedBatchSampler(
+                new_ds.command, B, cfg.training.seed + 131 * refresh_round,
+                controls=new_ds.controls,
+                hard_boost=cfg.training.hard_frame_boost)
+            if verbose:
+                print(f"  train table refreshed: {len(new_ds)} fresh frames "
+                      f"({time.time() - t_r:.0f}s)", flush=True)
 
     if ckpt_dir:
         _write_history(os.path.join(ckpt_dir, "training_history.csv"), history)
@@ -443,7 +491,11 @@ def train(
                                 batch_stats=ema["batch_stats"])
                   if use_ema else state)
     return {"history": history, "best_val_loss": best_val, "state": state,
-            "eval_state": final_eval}
+            "eval_state": final_eval,
+            # The val snapshot outlives any refresh: callers run the offline
+            # report against it (the original shared table may be long gone).
+            "val_table": (dict(dev_val, image_shape=img_shape)
+                          if res_mode else None)}
 
 
 def _write_history(path: str, history: list[dict]):

@@ -95,6 +95,47 @@ def test_train_and_report_from_table(resident_out, tmp_path):
     assert "steer" in report and np.isfinite(report["steer"]["mae"])
 
 
+def test_refresh_swaps_train_table(resident_out):
+    """train(refresh_fn=..., refresh_every=1): the train table is swapped
+    after every epoch except the last, training continues across swaps, and
+    the returned val snapshot is independent of the (long-gone) first table."""
+    table, labels, _, _ = resident_out
+    ds = labels_dataset(labels)
+    n = len(labels["speed"])
+    calls = []
+
+    def refresh(i):
+        calls.append(i)
+        perm = np.arange(n)[::-1].copy()  # same frames, new row order
+        t2 = {
+            "images": jnp.asarray(np.asarray(table["images"])[:n][perm]),
+            "speed": jnp.asarray(labels["speed"][perm]),
+            "command": jnp.asarray(labels["command"][perm]),
+            "controls": jnp.asarray(labels["controls"][perm]),
+        }
+        lab2 = {k: labels[k][perm] for k in ("speed", "command", "controls")}
+        return t2, labels_dataset(lab2)
+
+    cfg = TrainConfig(
+        model=TINY_CFG.model,
+        training=TrainingConfig(batch_size=16, epochs=3),
+    )
+    out = train(ds, cfg, steps_per_epoch=2, verbose=False, mesh=make_mesh(1),
+                resident=table, refresh_fn=refresh, refresh_every=1)
+    assert calls == [1, 2]  # after epochs 1 and 2; never after the last
+    assert np.isfinite(out["best_val_loss"])
+    _, val_idx = stratified_split(ds, cfg.training.val_fraction,
+                                  cfg.training.seed)
+    vt = out["val_table"]
+    assert vt is not None and vt["images"].shape[0] == len(val_idx)
+    assert vt["image_shape"] == (32, 64, 3)
+    # Snapshot rows are the val rows of the ORIGINAL table, bit-exact.
+    direct = np.asarray(table["images"])[val_idx]
+    np.testing.assert_array_equal(np.asarray(vt["images"]), direct)
+    np.testing.assert_allclose(np.asarray(vt["speed"]),
+                               labels["speed"][val_idx])
+
+
 def test_resident_gather_matches_table(resident_out):
     """A gathered train batch must equal direct row reads of the table."""
     from cilrs_tpu.ops.gather import gather_rows
