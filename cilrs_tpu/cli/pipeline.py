@@ -48,6 +48,10 @@ def main(argv=None):
                    help="resident mode: re-collect the train table every N "
                         "epochs (fresh frames, fixed val snapshot) — the "
                         "on-device simulator makes data effectively free")
+    p.add_argument("--patience", type=int, default=None,
+                   help="early-stop patience override (refresh runs want it "
+                        "high: the leak-free val plateaus long before the "
+                        "cosine tail delivers its steer-precision gains)")
     p.add_argument("--report-frames", type=int, default=0,
                    help="resident mode: also run the offline report on this "
                         "many FRESHLY collected held-out frames (never seen "
@@ -152,6 +156,8 @@ def _resident_pipeline(net, args, t_start, timing):
         tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
     if args.hard_boost is not None:
         tcfg = dataclasses.replace(tcfg, hard_frame_boost=args.hard_boost)
+    if args.patience is not None:
+        tcfg = dataclasses.replace(tcfg, early_stop_patience=args.patience)
     cfg = dataclasses.replace(cfg, training=tcfg)
 
     print(f"\n=== resident collect: {args.frames} frames (mixed weathers) ===")

@@ -145,6 +145,21 @@ def _ground_masks(net: RoadNetwork, ego_pos: jnp.ndarray, gxy: jnp.ndarray):
     return road, marking, sidewalk
 
 
+def _motion_stretch(pxy: jnp.ndarray, yaw: jnp.ndarray,
+                    speed_ms: jnp.ndarray) -> jnp.ndarray:
+    """Compress world points along the travel direction by (1 + k*v) before
+    hashing, so the value-noise cells render STRETCHED along motion — the
+    exposure smear a real camera produces on the road surface. This is the
+    frame's dominant speed cue for the aux speed head (the zoom blur encodes
+    speed only in subtle sample weights): texture elongation is ~1.9x at the
+    30 km/h cruise plateau and ~1.55x at the 18 km/h turn plateau. Pure
+    elementwise math — no extra hash evaluations, no gathers."""
+    fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)])
+    stretch = 1.0 + 0.11 * jnp.abs(speed_ms)
+    along = pxy @ fwd
+    return pxy + fwd[None, :] * (along * (1.0 / stretch - 1.0))[:, None]
+
+
 def _hash2(p: jnp.ndarray, cell: float) -> jnp.ndarray:
     """Per-cell value noise in [0,1): hash of the quantized world-space point.
     Deterministic in world coordinates, so it behaves like real ground texture
@@ -290,8 +305,12 @@ def render_frame(
     # its position/phase along the road; a flat-shaded ground starves it of
     # exactly the longitudinal signal that aligns turn-phase labels (steer and
     # speed-plateau transitions). Pure elementwise math — no gathers.
-    tex = 0.6 * _hash2(gxy, 1.7) + 0.4 * _hash2(gxy, 0.45) - 0.5
-    amp = 0.035 * road + 0.05 * (1.0 - road)  # additive: visible on dark asphalt
+    sxy = _motion_stretch(gxy, world.ego_yaw, jnp.abs(world.ego_speed))
+    tex = 0.6 * _hash2(sxy, 1.7) + 0.4 * _hash2(sxy, 0.45) - 0.5
+    # Smear also costs contrast: scale grain amplitude by 1/sqrt(stretch) so
+    # luminance variance falls with speed too (a second, global cue).
+    amp_v = jax.lax.rsqrt(1.0 + 0.11 * jnp.abs(world.ego_speed))
+    amp = (0.035 * road + 0.05 * (1.0 - road)) * amp_v  # visible on dark asphalt
     g = jnp.clip(g + (amp * tex)[:, None], 0.0, 1.0)
     g = g * (1 - marking[:, None]) + _MARKING * marking[:, None]
     ground_color = g

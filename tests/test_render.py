@@ -111,6 +111,36 @@ def test_motion_blur_speed_cue(mini_town):
     np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
 
 
+def test_motion_stretch_grain_cue(mini_town):
+    """Ground grain must elongate along the travel direction with speed
+    (exposure smear): along-motion pixel gradients of the ground shrink
+    relative to cross-motion ones as speed rises — the aux speed head's
+    strongest per-frame cue."""
+    from cilrs_tpu.render.raster import _hash2, _motion_stretch
+
+    import jax.numpy as jnp
+
+    # Pure-texture check, no renderer in the way: sample the stretched hash
+    # on a fine world grid and compare directional finite differences.
+    xs = np.linspace(0.0, 20.0, 400)
+    ys = np.linspace(0.0, 8.0, 160)
+    gx, gy = np.meshgrid(xs, ys)
+    pts = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], axis=1))
+
+    def aniso(speed_ms):
+        s = _motion_stretch(pts, jnp.asarray(0.0), jnp.asarray(speed_ms))
+        t = np.asarray(_hash2(s, 1.7)).reshape(160, 400)
+        d_along = np.abs(np.diff(t, axis=1)).mean()   # x = travel direction
+        d_cross = np.abs(np.diff(t, axis=0)).mean()
+        return d_along / d_cross
+
+    a0, a8, a12 = aniso(0.0), aniso(8.33), aniso(12.5)
+    assert a0 > a8 > a12, f"stretch not monotone in speed: {a0} {a8} {a12}"
+    # Stationary: no stretch at all.
+    s = _motion_stretch(pts, jnp.asarray(1.3), jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(pts), atol=1e-6)
+
+
 def test_autopilot_longitudinal_continuity():
     """The teacher's throttle/brake must be continuous through the cruise point
     (v_err = 0): a jump there makes BC labels oscillate between two values for
