@@ -48,6 +48,11 @@ def main(argv=None):
                    help="resident mode: re-collect the train table every N "
                         "epochs (fresh frames, fixed val snapshot) — the "
                         "on-device simulator makes data effectively free")
+    p.add_argument("--init-from", default=None,
+                   help="warm-start params from another run's best checkpoint "
+                        "(stage-2 fixed-table fine-tune after a refresh run)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="peak learning-rate override (fine-tunes want ~0.3x)")
     p.add_argument("--patience", type=int, default=None,
                    help="early-stop patience override (refresh runs want it "
                         "high: the leak-free val plateaus long before the "
@@ -102,12 +107,17 @@ def main(argv=None):
             tcfg = dataclasses.replace(tcfg, epochs=args.epochs)
         if args.batch_size is not None:
             tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
-        cfg = dataclasses.replace(cfg, training=tcfg)
+        if args.patience is not None:
+            tcfg = dataclasses.replace(tcfg, early_stop_patience=args.patience)
+        ocfg = cfg.optimizer
+        if args.lr is not None:
+            ocfg = dataclasses.replace(ocfg, learning_rate=args.lr)
+        cfg = dataclasses.replace(cfg, training=tcfg, optimizer=ocfg)
         print("\n=== load dataset ===")
         ds = load_sessions([d for d in session_dirs if os.path.isdir(d)])
         print(f"  {len(ds)} frames")
         print("\n=== train ===")
-        out = train(ds, cfg, ckpt_dir=ckpt_dir)
+        out = train(ds, cfg, ckpt_dir=ckpt_dir, init_from=args.init_from)
         timing["train_s"] = time.time() - t0
         timing["best_val_loss"] = out["best_val_loss"]
         print(f"best val loss: {out['best_val_loss']:.4f} in {timing['train_s']:.0f}s")
@@ -158,7 +168,10 @@ def _resident_pipeline(net, args, t_start, timing):
         tcfg = dataclasses.replace(tcfg, hard_frame_boost=args.hard_boost)
     if args.patience is not None:
         tcfg = dataclasses.replace(tcfg, early_stop_patience=args.patience)
-    cfg = dataclasses.replace(cfg, training=tcfg)
+    ocfg = cfg.optimizer
+    if args.lr is not None:
+        ocfg = dataclasses.replace(ocfg, learning_rate=args.lr)
+    cfg = dataclasses.replace(cfg, training=tcfg, optimizer=ocfg)
 
     print(f"\n=== resident collect: {args.frames} frames (mixed weathers) ===")
     t0 = time.time()
@@ -191,7 +204,8 @@ def _resident_pipeline(net, args, t_start, timing):
         del table
         out = train(ds, cfg, ckpt_dir=ckpt_dir, resident=holder.pop(),
                     refresh_fn=refresh_fn if args.refresh_every else None,
-                    refresh_every=args.refresh_every)
+                    refresh_every=args.refresh_every,
+                    init_from=args.init_from)
         timing["train_s"] = time.time() - t0
         timing["best_val_loss"] = out["best_val_loss"]
         print(f"best val loss: {out['best_val_loss']:.4f} "

@@ -78,6 +78,7 @@ def train(
     ckpt_every: int = 5,
     refresh_fn=None,
     refresh_every: int = 0,
+    init_from: str | None = None,
 ) -> dict:
     """Full training run. Returns history dict incl. best_val_loss.
 
@@ -109,6 +110,13 @@ def train(
     spe = steps_per_epoch or max(1, len(train_idx) // B)
 
     state = create_train_state(cfg, jax.random.PRNGKey(cfg.training.seed), spe)
+    if init_from:
+        # Warm start from another run's BEST slot (params + BN stats; fresh
+        # optimizer/schedule) — stage-2 fine-tunes on a fixed table after a
+        # refresh run, giving session-split val numbers on reference protocol.
+        state = ckpt.restore_best_params(init_from, state)
+        if verbose:
+            print(f"  params initialized from {init_from} (best slot)")
     if pretrained_backbone:
         from cilrs_tpu.models.torch_import import init_trunk_from_torchvision
 
