@@ -229,7 +229,10 @@ def _resident_pipeline(net, args, t_start, timing):
         pred, true, cmd = collect_predictions_resident(
             state, val_table, val_labels, np.arange(len(val_idx)),
             cfg.training.batch_size, cfg)
-        report = offline_report(pred, true, cmd)
+        # Mixed-weather collects assign weather round-robin by env id
+        # (data/resident.make_fleet): env % 5 recovers the per-frame weather.
+        report = offline_report(pred, true, cmd,
+                                weather=labels["env"][val_idx] % 5)
         save_report(report, os.path.join(args.workdir, "evaluation_report.json"))
         timing["report_s"] = time.time() - t0
         print(f"  steer MAE {report['steer']['mae']:.4f} "
@@ -250,7 +253,8 @@ def _resident_pipeline(net, args, t_start, timing):
             pred, true, cmd = collect_predictions_resident(
                 state, ftable, flabels, np.arange(args.report_frames),
                 cfg.training.batch_size, cfg)
-            fresh = offline_report(pred, true, cmd)
+            fresh = offline_report(pred, true, cmd,
+                                   weather=flabels["env"] % 5)
             save_report(fresh, os.path.join(args.workdir,
                                             "evaluation_report_fresh.json"))
             timing["report_fresh_s"] = time.time() - t0

@@ -142,8 +142,12 @@ class WeightedBatchSampler:
         return self.rng.choice(self.n, size=self.batch_size, replace=True, p=self.p)
 
     def epoch(self, steps: int):
-        for _ in range(steps):
-            yield self()
+        # One vectorized draw per epoch: np.random.choice with `p` rebuilds
+        # the CDF on every call, which at 1000+ batch draws over a 150K-frame
+        # population costs whole host-seconds per epoch on the one-core VM.
+        idx = self.rng.choice(self.n, size=steps * self.batch_size,
+                              replace=True, p=self.p)
+        yield from idx.reshape(steps, self.batch_size)
 
 
 def make_synthetic_dataset(n: int = 512, seed: int = 0, h: int = 88, w: int = 200) -> DriveDataset:

@@ -29,6 +29,7 @@ def offline_report(
     pred: np.ndarray,  # [N, 4] steer, throttle, brake, pred_speed(norm)
     true: np.ndarray,  # [N, 4] same layout (speed normalized)
     command: np.ndarray,  # [N]
+    weather: np.ndarray | None = None,  # [N] weather index (0..4), optional
 ) -> dict:
     report: dict = {"num_samples": int(len(pred))}
     for k, name in enumerate(CONTROL_NAMES):
@@ -57,6 +58,25 @@ def offline_report(
     report["steer_accuracy"] = {
         f"within_{t}": float((steer_err <= t).mean()) for t in ACCURACY_THRESHOLDS
     }
+    if weather is not None:
+        # Localizes weather-conditional failure (e.g. the aux speed head
+        # reading motion cues through night/fog dimming) that the aggregate
+        # correlations average away.
+        from cilrs_tpu.config import WEATHER_NAMES
+
+        per_w = {}
+        for w, wname in enumerate(WEATHER_NAMES):
+            mask = weather == w
+            if mask.sum() == 0:
+                continue
+            per_w[wname] = {"samples": int(mask.sum())}
+            for k, name in enumerate(CONTROL_NAMES):
+                err = pred[mask, k] - true[mask, k]
+                per_w[wname][name] = {
+                    "mae": float(np.abs(err).mean()),
+                    "correlation": _corr(pred[mask, k], true[mask, k]),
+                }
+        report["per_weather"] = per_w
     return report
 
 
