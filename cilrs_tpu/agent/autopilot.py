@@ -169,7 +169,16 @@ def autopilot_controls(
     # make half the cruise frames depend on a fuzzy 30 m distance estimate.
     gate = 7.0 + 0.25 * speed_kmh  # ~14.5 m at 30 km/h
     throttle = throttle * jnp.clip((obs_dist - gate) / 3.0, 0.0, 1.0)
-    brake = jnp.maximum(brake, 0.9 * jnp.clip(1.0 - obs_dist / gate, 0.0, 1.0))
+    # PLATEAU brake, not a gate-wide ramp: the old 0.9*(1 - d/gate) law spread
+    # the label over the full ~14.5 m gate, so cloning it needed sub-meter
+    # distance regression on every braking frame (residuals_r3_flagship.json:
+    # brake MAE 0.166 in the throttle-zero segment, corr 0.951 vs the
+    # reference's 0.9815 — CARLA TM's brake is near-binary). Now the label is
+    # a flat 0.85 everywhere inside the gate except a 3 m onset strip: one
+    # legible discrete event (leader inside the gate) instead of a continuous
+    # distance readout. Same onset distance, firmer stop — closed-loop gap
+    # behavior is unchanged (throttle already cuts at the same gate).
+    brake = jnp.maximum(brake, 0.85 * jnp.clip((gate - obs_dist) / 3.0, 0.0, 1.0))
 
     # Traffic lights: stop on red, and on yellow when still slow enough.
     red = tl_state == LIGHT_RED

@@ -44,6 +44,10 @@ def main(argv=None):
     p.add_argument("--hard-boost", type=float, default=None,
                    help="extra sampling weight on big-steer/braking frames "
                         "(TrainingConfig.hard_frame_boost; 0 = reference parity)")
+    p.add_argument("--speed-boost", type=float, default=None,
+                   help="train-only multiplier on the aux speed-head loss "
+                        "weight (TrainingConfig.speed_loss_boost; reported "
+                        "val loss keeps the canonical weights)")
     p.add_argument("--refresh-every", type=int, default=0,
                    help="resident mode: re-collect the train table every N "
                         "epochs (fresh frames, fixed val snapshot) — the "
@@ -166,6 +170,8 @@ def _resident_pipeline(net, args, t_start, timing):
         tcfg = dataclasses.replace(tcfg, batch_size=args.batch_size)
     if args.hard_boost is not None:
         tcfg = dataclasses.replace(tcfg, hard_frame_boost=args.hard_boost)
+    if args.speed_boost is not None:
+        tcfg = dataclasses.replace(tcfg, speed_loss_boost=args.speed_boost)
     if args.patience is not None:
         tcfg = dataclasses.replace(tcfg, early_stop_patience=args.patience)
     ocfg = cfg.optimizer
@@ -224,10 +230,17 @@ def _resident_pipeline(net, args, t_start, timing):
         # The report reads the trainer's val SNAPSHOT (local rows 0..V-1):
         # the collection table itself may have been swapped away by refresh.
         val_table = out["val_table"]
-        val_labels = {k: labels[k][val_idx]
-                      for k in ("controls", "speed", "command")}
+        if args.refresh_every:
+            # Refresh runs: val_table is an independent snapshot — local rows,
+            # subset labels (the collection table was swapped away).
+            val_labels = {k: labels[k][val_idx]
+                          for k in ("controls", "speed", "command")}
+        else:
+            # Fixed table: val_table IS the collection table and val_rows are
+            # global row ids, so labels index globally too.
+            val_labels = {k: labels[k] for k in ("controls", "speed", "command")}
         pred, true, cmd = collect_predictions_resident(
-            state, val_table, val_labels, np.arange(len(val_idx)),
+            state, val_table, val_labels, out["val_rows"],
             cfg.training.batch_size, cfg)
         # Mixed-weather collects assign weather round-robin by env id
         # (data/resident.make_fleet): env % 5 recovers the per-frame weather.

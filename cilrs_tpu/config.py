@@ -141,6 +141,13 @@ class TrainingConfig:
     # checkpoint slot then holds the averaged params, the latest slot keeps
     # the raw resume state).
     ema_eval: bool = True
+    # TRAIN-only multiplier on the aux speed-head MSE weight (the reported
+    # train/val loss keeps the canonical notebook weights, LossConfig). The
+    # speed head reads visual features only (CILRS aux task); at the 0.5
+    # canonical weight its gradient is ~1% of the total, and the trunk never
+    # learns to fully exploit the motion-blur/grain-stretch speed cues
+    # (speed corr plateaued at 0.957 vs the reference's 0.9844).
+    speed_loss_boost: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -180,6 +180,7 @@ def train(
     # shards over the data axis).
     dev_resident = n_dev == 1
     res_mode = resident is not None
+    val_rows = None  # res_mode only: rows of the val split in val_table
     if res_mode:
         assert n_dev == 1, "resident-table training is the single-chip path"
         from cilrs_tpu.ops.gather import LANE, gather_rows
@@ -204,8 +205,18 @@ def train(
                 "controls": dds["controls"][idx],
             }
 
-        dev_val = jax.block_until_ready(
-            _snap_val(dev_train, jnp.asarray(val_idx)))
+        if refresh_fn is None:
+            # Fixed table: the val rows never change, so evaluating straight
+            # from the collection table by global index is free — the
+            # independent snapshot would add ~val_fraction of the table's
+            # footprint for nothing (at 200K frames: +1.6 GB on top of the
+            # 10.6 GB table, which OOMed the chip at the first validation).
+            dev_val = dev_train
+            val_rows = np.asarray(val_idx)
+        else:
+            dev_val = jax.block_until_ready(
+                _snap_val(dev_train, jnp.asarray(val_idx)))
+            val_rows = np.arange(len(val_idx))
 
         def _gather(dds, idx):
             b = {k: v[idx] for k, v in dds.items() if k != "images"}
@@ -385,7 +396,7 @@ def train(
                                     batch_stats=ema["batch_stats"])
                       if use_ema else state)
         if res_mode:
-            vsrc = np.arange(len(val_idx))  # rows of the val snapshot table
+            vsrc = val_rows  # rows into the val table (snapshot or shared)
         elif dev_resident:
             vsrc = np.arange(len(val_res))
         else:
@@ -508,8 +519,11 @@ def train(
             "eval_state": final_eval,
             # The val snapshot outlives any refresh: callers run the offline
             # report against it (the original shared table may be long gone).
+            # With a fixed table this IS the collection table; val_rows maps
+            # the val split into it either way.
             "val_table": (dict(dev_val, image_shape=img_shape)
-                          if res_mode else None)}
+                          if res_mode else None),
+            "val_rows": val_rows if res_mode else None}
 
 
 def _write_history(path: str, history: list[dict]):
