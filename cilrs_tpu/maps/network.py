@@ -361,7 +361,21 @@ def build_network(
                 if len(pts) < 1:
                     continue
                 junction = degree[nidx] >= 3
-                first, last = add_polyline(pts, turn if junction else TURN_FOLLOW, bool(junction))
+                # Tight degree-2 bends (grid-perimeter corners) are plain
+                # curved road — no navigation choice — but their fillets
+                # demand sustained |steer| ~ 0.5, and leaving them CMD_FOLLOW
+                # dumps hard-steer arcs into the model's LANEFOLLOW branch:
+                # 13.6% of LANEFOLLOW frames were |steer| > 0.3, against a
+                # reference FOLLOW branch that is essentially flat (steer MAE
+                # 0.0041, with 41% of its val frames commanded LEFT/RIGHT —
+                # /root/reference/evaluation_report.json per_command_metrics).
+                # Marking bends with their geometric turn class reproduces the
+                # reference's command/label shape; geometry, routes, spawn
+                # indices and scoring are untouched.
+                bend_turn = (not junction) and dot <= 0.7
+                first, last = add_polyline(
+                    pts, turn if (junction or bend_turn) else TURN_FOLLOW,
+                    bool(junction))
                 next_lists[li].append(first)
                 if prev_of[first] < 0:
                     prev_of[first] = li

@@ -335,10 +335,24 @@ def localize(route: Route, cur_idx: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarra
 
 
 def get_command(route: Route, cur_idx: jnp.ndarray) -> jnp.ndarray:
-    """High-level command via lookahead offsets; first non-FOLLOW wins."""
+    """High-level command: current waypoint's class, then lookahead offsets.
+
+    Offset 0 comes first so a turn command HOLDS through the whole arc. With
+    pure lookahead (reference autonomous_drive.py:435-441, offsets [3,5,8,12])
+    the command drops back to FOLLOW once fewer than 3 marked waypoints
+    remain — on our ~7-waypoint fillet arcs that orphans ~60% of each arc's
+    hard-steer frames into the LANEFOLLOW branch (measured: 13.4% of
+    LANEFOLLOW frames at |steer| > 0.3). The reference never sees this
+    because CARLA's GlobalRoutePlanner marks turn options across multi-10 m
+    segments, so its +3 drop trims a far smaller arc fraction; anchoring on
+    the current waypoint reproduces the reference's command COVERAGE of turn
+    frames (41% of its val split is LEFT/RIGHT) rather than its literal
+    offsets.
+    """
     last = route.length - 1
     opts = jnp.stack(
-        [route.option[jnp.minimum(cur_idx + o, last)] for o in LOOKAHEAD_OFFSETS]
+        [route.option[jnp.minimum(cur_idx + o, last)]
+         for o in (0,) + LOOKAHEAD_OFFSETS]
     )
     nonzero = opts != CMD_FOLLOW
     any_turn = jnp.any(nonzero)
