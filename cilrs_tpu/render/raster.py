@@ -7,7 +7,10 @@ replacing the CARLA camera sensor + callback thread
  - ground plane z=0 classified analytically against the K lane segments nearest
    the ego (road / lane-marking / sidewalk -> asphalt / paint / pavement /
    grass) — no per-pixel texture gathers (see _ground_masks);
- - vehicles as oriented boxes (slab test in the vehicle body frame);
+ - vehicles as oriented boxes (slab test in the vehicle body frame), with
+   emissive rear brake lamps while braking and dim taillights at night
+   (CARLA vehicles light brake lamps whenever control.brake > 0, so the
+   reference's camera carries the same anticipation cue);
  - pedestrians as vertical cylinders;
  - traffic lights as poles + emissive state-colored heads (the K nearest
    lights are gathered first so per-pixel cost is independent of map size);
@@ -72,6 +75,7 @@ _ASPHALT = jnp.array([0.23, 0.23, 0.24], jnp.float32)
 _MARKING = jnp.array([0.85, 0.85, 0.80], jnp.float32)
 _POLE = jnp.array([0.25, 0.26, 0.28], jnp.float32)
 _PED_COLOR = jnp.array([0.55, 0.35, 0.25], jnp.float32)
+_TAILLIGHT = jnp.array([0.95, 0.07, 0.05], jnp.float32)
 
 _LIGHT_COLORS = jnp.array([
     [0.1, 0.95, 0.2],   # green
@@ -198,7 +202,17 @@ def _ray_obb(o, d, center_xy, yaw, half_l, half_w, height):
     hit = (tmax >= tmin) & (tmax > 0.0) & (tmin > 0.05)
     # Face shading by entry axis: side faces darker, top brightest.
     shade = jnp.where(tmin == tminz, 1.0, jnp.where(tmin == tminx, 0.72, 0.55))
-    return jnp.where(hit, tmin, INF), shade
+    # Taillight lamp regions on the REAR face (-x in body frame; entered when
+    # the ray travels toward +x): two bands at the outer rear corners at lamp
+    # height. Pure elementwise math on intermediates the slab solve already
+    # produced — no extra ray test. The caller scales this by per-box lamp
+    # intensity (brake / night), which zeroes it for buildings.
+    rear = hit & (tmin == tminx) & (dx > 0.0)
+    y_hit = oy + tmin * dy
+    z_hit = oz + tmin * dz
+    yfrac = jnp.abs(y_hit) / jnp.maximum(half_w, 1e-3)
+    lamp = rear & (yfrac > 0.50) & (yfrac < 0.94) & (z_hit > 0.42) & (z_hit < 0.76)
+    return jnp.where(hit, tmin, INF), shade, lamp.astype(jnp.float32)
 
 
 def _ray_cylinder(o, d, center_xy, radius, height):
@@ -342,6 +356,16 @@ def render_frame(
     box_h = [jnp.full((V1,), VEH_HEIGHT, jnp.float32)]
     box_alive = [valive]
     box_pal = [_VEH_COLORS[(jnp.arange(V1) + 1) % _VEH_COLORS.shape[0]]]
+    # Per-vehicle taillight intensity: brake lights when braking (CARLA
+    # vehicles light their brake lamps whenever control.brake > 0, so the
+    # reference's camera frames carry this anticipation cue — the teacher
+    # brakes off ground-truth obstacle_dist, and without lamps the policy can
+    # only read lead-vehicle deceleration from OBB size changes), plus dim
+    # always-on taillights at night (vehicle visibility cue).
+    vbrake = jnp.clip(world.veh_control[lo:, 2], 0.0, 1.0)
+    vbrake = vbrake * (1.0 - world.veh_reverse[lo:].astype(jnp.float32))
+    night = wx.night_level(world.weather_idx)
+    box_glow = [jnp.maximum(jnp.clip(vbrake * 3.0, 0.0, 1.0), 0.35 * night)]
     if Bg > 0:
         d2b = jnp.sum((net.bldg_xy - world.ego_pos) ** 2, axis=-1)
         _, nearb = jax.lax.top_k(-d2b, KB)  # per-frame cull (small gather)
@@ -352,14 +376,16 @@ def render_frame(
         box_h.append(net.bldg_h[nearb])
         box_alive.append(jnp.ones((KB,), bool))
         box_pal.append(_BLDG_COLORS[nearb % _BLDG_COLORS.shape[0]])
+        box_glow.append(jnp.zeros((KB,), jnp.float32))
     if V1 + KB > 0:
-        t_box, shade = _ray_obb(
+        t_box, shade, lamp = _ray_obb(
             o_rel, rays,
             jnp.concatenate(box_xy), jnp.concatenate(box_yaw),
             jnp.concatenate(box_hl), jnp.concatenate(box_hw),
             jnp.concatenate(box_h),
         )
         t_box = jnp.where(jnp.concatenate(box_alive)[None, :], t_box, INF)
+        glow = lamp * jnp.concatenate(box_glow)[None, :]  # [N, V1+KB]
         # Materialize the solve ONCE (bf16): without the barrier XLA re-fuses
         # the whole [N,V] ray-box solve into each of the four consumer
         # reductions below (min / tie-count / shade / palette dot), quadrupling
@@ -367,8 +393,9 @@ def render_frame(
         # bf16 halves the materialized bytes; t only picks the winning surface
         # (sub-pixel silhouette error at range), and the exact-min tie compare
         # needs no epsilon because both sides are the same bf16 values.
-        t16, sh16 = jax.lax.optimization_barrier(
-            (t_box.astype(jnp.bfloat16), shade.astype(jnp.bfloat16)))
+        t16, sh16, gl16 = jax.lax.optimization_barrier(
+            (t_box.astype(jnp.bfloat16), shade.astype(jnp.bfloat16),
+             glow.astype(jnp.bfloat16)))
         t_v16 = jnp.min(t16, axis=1)
         # bf16(INF) rounds below the f32 INF sentinel; restore exact INF for
         # all-miss pixels or the sky loses the depth compare to the boxes.
@@ -379,9 +406,15 @@ def render_frame(
         w_v = is_min.astype(jnp.float32) / norm  # [N, V1+KB]
         sh_v = jnp.sum(w_v * sh16.astype(jnp.float32), axis=1)
         v_color = (w_v @ jnp.concatenate(box_pal)) * sh_v[:, None]
+        # Blend the winning pixel toward the emissive lamp color.
+        glow_pix = jnp.clip(jnp.sum(w_v * gl16.astype(jnp.float32), axis=1),
+                            0.0, 1.0)
+        v_color = (v_color * (1.0 - glow_pix[:, None])
+                   + _TAILLIGHT * glow_pix[:, None])
     else:  # ego-only, building-free world
         t_v = jnp.full((N,), INF)
         v_color = jnp.zeros((N, 3))
+        glow_pix = jnp.zeros((N,))
 
     # --- pedestrians ---
     ped_rel = world.ped_pos - o[:2]
@@ -419,14 +452,17 @@ def render_frame(
         head_color = jnp.zeros((N, 3))
 
     # --- compose: nearest hit wins (elementwise select chain, no gathers) ---
+    # Emissive strength is per-pixel float: 1.0 for traffic-light heads,
+    # glow_pix for vehicle taillight pixels (brake lamps shine through
+    # fog/night dimming — exactly the conditions where the cue matters).
     t_hit = t_ground
     surf = ground_color
-    emissive = jnp.zeros((N,), bool)
+    emissive = jnp.zeros((N,), jnp.float32)
     for t_layer, c_layer, em in (
-        (t_v, v_color, False),
-        (t_p, jnp.broadcast_to(_PED_COLOR, (N, 3)), False),
-        (t_pole_min, jnp.broadcast_to(_POLE, (N, 3)), False),
-        (t_h, head_color, True),
+        (t_v, v_color, glow_pix),
+        (t_p, jnp.broadcast_to(_PED_COLOR, (N, 3)), 0.0),
+        (t_pole_min, jnp.broadcast_to(_POLE, (N, 3)), 0.0),
+        (t_h, head_color, 1.0),
     ):
         closer = t_layer < t_hit
         surf = jnp.where(closer[:, None], c_layer, surf)
@@ -438,9 +474,9 @@ def render_frame(
     elev = jnp.clip(rays[:, 2] / 0.6, 0.0, 1.0)
     sky = wx.sky_color(world.weather_idx, elev)
     lit = wx.apply_atmosphere(world.weather_idx, surf, jnp.minimum(t_hit, spec.far))
-    # Emissive traffic-light heads skip lighting/fog dimming partially.
-    emissive = emissive & ~is_sky
-    lit = jnp.where(emissive[:, None], surf * 0.9 + lit * 0.1, lit)
+    # Emissive surfaces skip lighting/fog dimming proportionally.
+    w_e = 0.9 * jnp.where(is_sky, 0.0, emissive)[:, None]
+    lit = surf * w_e + lit * (1.0 - w_e)
     color = jnp.where(is_sky[:, None], sky, lit)
 
     img = color.reshape(H, W, 3)

@@ -92,6 +92,11 @@ def rain_streaks(
     return color * (1.0 - a * (overlay > 0)) + overlay * a
 
 
+def night_level(weather_idx: jnp.ndarray) -> jnp.ndarray:
+    """0..1 darkness factor (1 for the night preset) — taillight gating."""
+    return _NIGHT[weather_idx]
+
+
 def headlight(
     weather_idx: jnp.ndarray,
     u: jnp.ndarray,  # [H, W] 0..1

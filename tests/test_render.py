@@ -87,6 +87,28 @@ def test_render_npc_visible(mini_town):
     assert diff > 1e-4, "NPC vehicle not visible in render"
 
 
+def test_render_brake_lights(mini_town):
+    """A braking lead vehicle must show emissive red rear lamps (CARLA parity:
+    brake lamps light whenever control.brake > 0) — the policy's anticipation
+    cue for lead-vehicle deceleration."""
+    world, xy, yaw = _world_on_road(mini_town, weather_idx=0)
+    fwd = np.array([np.cos(yaw), np.sin(yaw)])
+    world = world.replace(
+        veh_pos=world.veh_pos.at[1].set(jnp.asarray(xy + fwd * 12.0, jnp.float32)),
+        ped_alive=world.ped_alive.at[:].set(False),
+    )
+    ls = light_states(mini_town, world.time_s)
+
+    def red_px(img):
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        return int(((r > 0.5) & (r > g * 2.5) & (r > b * 2.5)).sum())
+
+    braking = world.replace(veh_control=world.veh_control.at[1, 2].set(0.8))
+    n_brake = red_px(np.asarray(render_frame(mini_town, braking, ls)))
+    n_coast = red_px(np.asarray(render_frame(mini_town, world, ls)))
+    assert n_brake >= n_coast + 8, (n_brake, n_coast)
+
+
 def test_motion_blur_speed_cue(mini_town):
     """Frames must carry a monotonic visual speed cue (CARLA camera motion
     blur parity) so the aux speed head has something to learn from."""

@@ -63,6 +63,23 @@ def main():
         print(f"  {name:9s} Var(y)={var_y:.5f}  Var(eps)={var_eps:.6f}  "
               f"corr ceiling <= {ceil:.4f}")
 
+    # within-0.01 steer ceiling: even the Bayes predictor E[y|x] misses a
+    # frame whose label noise exceeds the band. With eps1 - eps2 observed via
+    # matched pairs, P(|y - E[y|x]| <= t) for the optimal predictor is
+    # estimated empirically from |y1-y2|/sqrt(2) (independent symmetric noise:
+    # |eps| ~ |eps1-eps2|/sqrt(2) in distribution for the Gaussian family;
+    # for heavy-tailed noise this is still the right scale factor for the
+    # second moment, and we also report the direct P(|y1-y2| <= 2t) bound,
+    # which is exact-free of distributional assumptions only as a sanity
+    # corridor: P(|eps|<=t)^2 <= P(|y1-y2|<=2t)).
+    t = 0.01
+    d = np.abs(labels[pairs[:, 0], 0] - labels[pairs[:, 1], 0])
+    frac_scaled = float((d / np.sqrt(2.0) <= t).mean())
+    frac_2t = float((d <= 2 * t).mean())
+    print(f"\nwithin-{t} steer ceiling (Bayes predictor):")
+    print(f"  P(|y1-y2|/sqrt2 <= {t}) = {frac_scaled:.4f}   "
+          f"[sanity: sqrt P(|y1-y2|<=2t) = {np.sqrt(frac_2t):.4f}]")
+
 
 if __name__ == "__main__":
     main()
