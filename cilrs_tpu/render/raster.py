@@ -23,6 +23,8 @@ batches it over environments.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -76,6 +78,11 @@ _MARKING = jnp.array([0.85, 0.85, 0.80], jnp.float32)
 _POLE = jnp.array([0.25, 0.26, 0.28], jnp.float32)
 _PED_COLOR = jnp.array([0.55, 0.35, 0.25], jnp.float32)
 _TAILLIGHT = jnp.array([0.95, 0.07, 0.05], jnp.float32)
+# Ablation kill switch for the brake-lamp/taillight cue (read once at import,
+# so it is static under jit): the lamp feature shipped in the same commit
+# window as a training-quality regression and A/B runs need to toggle it
+# without a source edit.
+_NO_LAMPS = os.environ.get("CILRS_TPU_NO_LAMPS", "") == "1"
 
 _LIGHT_COLORS = jnp.array([
     [0.1, 0.95, 0.2],   # green
@@ -366,6 +373,8 @@ def render_frame(
     vbrake = vbrake * (1.0 - world.veh_reverse[lo:].astype(jnp.float32))
     night = wx.night_level(world.weather_idx)
     box_glow = [jnp.maximum(jnp.clip(vbrake * 3.0, 0.0, 1.0), 0.35 * night)]
+    if _NO_LAMPS:  # A/B kill switch (static at import; see flag definition)
+        box_glow = [jnp.zeros((V1,), jnp.float32)]
     if Bg > 0:
         d2b = jnp.sum((net.bldg_xy - world.ego_pos) ** 2, axis=-1)
         _, nearb = jax.lax.top_k(-d2b, KB)  # per-frame cull (small gather)

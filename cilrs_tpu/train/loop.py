@@ -79,6 +79,7 @@ def train(
     refresh_fn=None,
     refresh_every: int = 0,
     init_from: str | None = None,
+    max_train_frames: int | None = None,
 ) -> dict:
     """Full training run. Returns history dict incl. best_val_loss.
 
@@ -103,6 +104,16 @@ def train(
     bspec = batch_spec(mesh)
 
     train_idx, val_idx = stratified_split(ds, cfg.training.val_fraction, cfg.training.seed)
+    if max_train_frames is not None and len(train_idx) > max_train_frames:
+        # Random train-split subsample at a FIXED val split: the control arm
+        # for dataset-scaling bisects (train on k of N collected frames while
+        # val rows stay identical to the full-N run, so reports compare 1:1).
+        sub = np.random.RandomState(cfg.training.seed + 7).choice(
+            len(train_idx), max_train_frames, replace=False)
+        train_idx = train_idx[np.sort(sub)]
+        if verbose:
+            print(f"  train split subsampled to {len(train_idx)} frames "
+                  f"(max_train_frames)", flush=True)
     B = cfg.training.batch_size
     # Round batch to the mesh size for even sharding.
     n_dev = len(mesh.devices.flatten())
@@ -262,7 +273,7 @@ def train(
             sel = rng_np.choice(len(train_idx), cap_train, replace=False)
             train_idx = train_idx[np.sort(sel)]
             if verbose:
-                print(f"  resident train subset: {cap_train} frames (5.5 GB HBM cap)",
+                print(f"  resident train subset: {cap_train} frames (8.4 GB HBM cap)",
                       flush=True)
         val_res = (val_idx if len(val_idx) <= cap_val else
                    val_idx[np.sort(rng_np.choice(len(val_idx), cap_val,
