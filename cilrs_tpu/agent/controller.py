@@ -163,8 +163,14 @@ def safety_controller(
         jnp.where(at_intersection, INTERSECTION_SPEED, target_speed),
     )
 
-    # Braking distances, scaled by speed and the weather brake factor (:963-966).
-    speed_factor = jnp.maximum(1.0, speed_kmh / 15.0) * w.brake_factor
+    # Braking distances, scaled by speed only (reference :963-966 — no weather
+    # term). The weather brake_factor scales brake FORCES (hard_brake_force,
+    # gov_brake, the red-light brake), never the zone geometry: scaling the
+    # zones too inflated hardrain's hard zone past the 20 m detection range
+    # (8 * (20/15) * 2.0 = 21.3 m), so every detected vehicle triggered a
+    # permanent hard brake and the long-route benchmark crawled at 3.5 km/h
+    # (runs/benchmark_r3h.json hardrain/fog timeouts).
+    speed_factor = jnp.maximum(1.0, speed_kmh / 15.0)
     hard_dist = 8.0 * speed_factor
     slow_dist = 16.0 * speed_factor
     caution_dist = 25.0 * speed_factor

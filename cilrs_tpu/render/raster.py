@@ -78,11 +78,16 @@ _MARKING = jnp.array([0.85, 0.85, 0.80], jnp.float32)
 _POLE = jnp.array([0.25, 0.26, 0.28], jnp.float32)
 _PED_COLOR = jnp.array([0.55, 0.35, 0.25], jnp.float32)
 _TAILLIGHT = jnp.array([0.95, 0.07, 0.05], jnp.float32)
-# Ablation kill switch for the brake-lamp/taillight cue (read once at import,
-# so it is static under jit): the lamp feature shipped in the same commit
-# window as a training-quality regression and A/B runs need to toggle it
-# without a source edit.
-_NO_LAMPS = os.environ.get("CILRS_TPU_NO_LAMPS", "") == "1"
+# Brake-lamp/taillight cue, OPT-IN for ablations only (read once at import,
+# so it is static under jit). Default is lamps OFF: two A/B runs measured the
+# cue as a shortcut feature that collapses LEFT/RIGHT steering (see the long
+# comment at the glow computation below). CILRS_TPU_NO_LAMPS=1 is honored for
+# backward compatibility with round-3 run scripts (it forces lamps off, which
+# is already the default).
+_LAMPS = (
+    os.environ.get("CILRS_TPU_LAMPS", "") == "1"
+    and os.environ.get("CILRS_TPU_NO_LAMPS", "") != "1"
+)
 
 _LIGHT_COLORS = jnp.array([
     [0.1, 0.95, 0.2],   # green
@@ -372,8 +377,21 @@ def render_frame(
     vbrake = jnp.clip(world.veh_control[lo:, 2], 0.0, 1.0)
     vbrake = vbrake * (1.0 - world.veh_reverse[lo:].astype(jnp.float32))
     night = wx.night_level(world.weather_idx)
-    box_glow = [jnp.maximum(jnp.clip(vbrake * 3.0, 0.0, 1.0), 0.35 * night)]
-    if _NO_LAMPS:  # A/B kill switch (static at import; see flag definition)
+    # Taillights default OFF: the cue is a measured shortcut feature. The
+    # round-2 form (clip(vbrake*3, 0, 1)) saturated a bright red glow onto
+    # most junction/queue frames because the NPC P-controller carries small
+    # brake values nearly every tick (agent/npc.py:134) — and training
+    # learned a "red glow => hold steer 0" shortcut that collapsed LEFT/RIGHT
+    # steering 5-8x (runs/r4a lamps-on vs runs/r4b lamps-off, identical
+    # recipe/seed). A tamed variant (gate brake > 0.45, unamplified
+    # 0.4+0.5*brake) was A/B'd as runs/r4d vs r4b and STILL costs 2.4x on
+    # LEFT steer MAE (0.0131 vs 0.0056) and 7 points of within-0.01 (83.6%
+    # vs 90.7%) — the queue-frame correlation survives any gating, so the
+    # proven-best no-lamps render is the default. Set CILRS_TPU_LAMPS=1 to
+    # re-enable the tamed cue for ablations.
+    brake_glow = jnp.where(vbrake > 0.45, 0.4 + 0.5 * vbrake, 0.0)
+    box_glow = [jnp.maximum(brake_glow, 0.35 * night)]
+    if not _LAMPS:  # default: no lamps (flag definition at top of file)
         box_glow = [jnp.zeros((V1,), jnp.float32)]
     if Bg > 0:
         d2b = jnp.sum((net.bldg_xy - world.ego_pos) ** 2, axis=-1)

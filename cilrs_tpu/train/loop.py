@@ -184,9 +184,10 @@ def train(
     # inside the jitted step, like the fused loop's ring buffer:
     #  - frames are stored FLAT [N, H*W*3] (the [N,88,200,3] layout's TPU tile
     #    padding expanded a 10.7 GB array by ~1.3x and OOMed the chip);
-    #  - the resident train split is capped at ~5.5 GB (stratified subsample
-    #    beyond that) and epoch validation uses a resident subset; run the
-    #    full-split offline eval with cli/report afterwards.
+    #  - the resident train split is capped at ~8.4 GB (stratified subsample
+    #    beyond that; see cap_train below) and epoch validation uses a
+    #    resident subset; run the full-split offline eval with cli/report
+    #    afterwards.
     # Multi-device meshes keep host batching with a prefetch thread (the batch
     # shards over the data axis).
     dev_resident = n_dev == 1

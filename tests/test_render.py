@@ -87,10 +87,14 @@ def test_render_npc_visible(mini_town):
     assert diff > 1e-4, "NPC vehicle not visible in render"
 
 
-def test_render_brake_lights(mini_town):
-    """A braking lead vehicle must show emissive red rear lamps (CARLA parity:
-    brake lamps light whenever control.brake > 0) — the policy's anticipation
-    cue for lead-vehicle deceleration."""
+def test_render_brake_lights_off_by_default(mini_town):
+    """Brake lamps are OFF by default: two A/B runs (runs/r4a vs r4b, r4d vs
+    r4b) measured the emissive-lamp cue as a shortcut feature that collapses
+    LEFT/RIGHT steering ("red glow => steer 0" on junction queue frames). The
+    default render must therefore be invariant to lead-vehicle brake input;
+    the tamed cue stays available behind CILRS_TPU_LAMPS=1 for ablations."""
+    import cilrs_tpu.render.raster as raster
+
     world, xy, yaw = _world_on_road(mini_town, weather_idx=0)
     fwd = np.array([np.cos(yaw), np.sin(yaw)])
     world = world.replace(
@@ -106,7 +110,19 @@ def test_render_brake_lights(mini_town):
     braking = world.replace(veh_control=world.veh_control.at[1, 2].set(0.8))
     n_brake = red_px(np.asarray(render_frame(mini_town, braking, ls)))
     n_coast = red_px(np.asarray(render_frame(mini_town, world, ls)))
-    assert n_brake >= n_coast + 8, (n_brake, n_coast)
+    assert not raster._LAMPS  # env must not leak the ablation flag into tests
+    assert abs(n_brake - n_coast) <= 2, (n_brake, n_coast)
+
+    # Opt-in path still renders the (tamed, hard-brake-gated) cue.
+    try:
+        raster._LAMPS = True
+        jax.clear_caches()
+        n_brake_on = red_px(np.asarray(render_frame(mini_town, braking, ls)))
+        n_coast_on = red_px(np.asarray(render_frame(mini_town, world, ls)))
+        assert n_brake_on >= n_coast_on + 8, (n_brake_on, n_coast_on)
+    finally:
+        raster._LAMPS = False
+        jax.clear_caches()
 
 
 def test_motion_blur_speed_cue(mini_town):
