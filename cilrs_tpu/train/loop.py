@@ -80,6 +80,7 @@ def train(
     refresh_every: int = 0,
     init_from: str | None = None,
     max_train_frames: int | None = None,
+    train_row_mask: np.ndarray | None = None,
 ) -> dict:
     """Full training run. Returns history dict incl. best_val_loss.
 
@@ -114,6 +115,15 @@ def train(
         if verbose:
             print(f"  train split subsampled to {len(train_idx)} frames "
                   f"(max_train_frames)", flush=True)
+    if train_row_mask is not None:
+        # Region-restricted training at a FIXED val split (dataset-region
+        # bisects: e.g. train only on rows collected before tick T while val
+        # rows stay identical to the unrestricted run).
+        before = len(train_idx)
+        train_idx = train_idx[train_row_mask[train_idx]]
+        if verbose:
+            print(f"  train split restricted {before} -> {len(train_idx)} rows "
+                  f"(train_row_mask)", flush=True)
     B = cfg.training.batch_size
     # Round batch to the mesh size for even sharding.
     n_dev = len(mesh.devices.flatten())
