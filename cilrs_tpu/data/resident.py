@@ -129,6 +129,25 @@ def collect_resident(
     # garbage rows never land inside [0, N).
     n_slots = N + M
 
+    # Guard: tables at/above 2^33 bytes are quarantined. Every training run
+    # whose fixed-table VAL rows sit past the 2^33-byte offset (row 161,320
+    # at 53,248 B/row) collapses on LEFT/RIGHT steering, while the data, the
+    # standalone reads, and a single train dispatch all audit bit-faithful —
+    # see RESULTS_training.md "Round 4" and tools/exp_{checksum,
+    # table_integrity,dispatch_divergence,tail_poison}.py. Until the root
+    # cause is pinned, collections must stay under the line (150k frames is
+    # the proven-healthy flagship size); the experiment tools opt out via
+    # CILRS_TPU_ALLOW_BIG_TABLE=1.
+    table_bytes = n_slots * R * LANE
+    if table_bytes >= 2 ** 33 and os.environ.get(
+            "CILRS_TPU_ALLOW_BIG_TABLE") != "1":
+        raise ValueError(
+            f"resident table would be {table_bytes / 1e9:.2f} GB >= 2^33 B "
+            f"({n_slots} rows x {R * LANE} B): training against tables this "
+            "large is quarantined pending the round-4 collapse root-cause "
+            "(RESULTS_training.md). Collect <= 150k frames, or set "
+            "CILRS_TPU_ALLOW_BIG_TABLE=1 for diagnostic runs.")
+
     table = {
         "images": jnp.zeros((n_slots, R, LANE), jnp.uint8),
         "speed": jnp.zeros((n_slots,), jnp.float32),

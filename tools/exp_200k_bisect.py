@@ -32,6 +32,10 @@ import time
 
 import numpy as np
 
+# Diagnostic tools deliberately build >2^33-byte tables (quarantined for
+# production runs by data/resident.py).
+os.environ.setdefault("CILRS_TPU_ALLOW_BIG_TABLE", "1")
+
 
 def label_analysis(labels: dict, band: int = 1000) -> dict:
     """Per-tick-band teacher-label stats, focused on turn quality."""

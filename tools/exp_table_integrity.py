@@ -30,6 +30,10 @@ import os
 
 import numpy as np
 
+# Diagnostic tools deliberately build >2^33-byte tables (quarantined for
+# production runs by data/resident.py).
+os.environ.setdefault("CILRS_TPU_ALLOW_BIG_TABLE", "1")
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()

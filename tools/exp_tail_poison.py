@@ -47,6 +47,10 @@ import time
 
 import numpy as np
 
+# Diagnostic tools deliberately build >2^33-byte tables (quarantined for
+# production runs by data/resident.py).
+os.environ.setdefault("CILRS_TPU_ALLOW_BIG_TABLE", "1")
+
 
 def pixel_band_stats(table, labels, bands=(0, 3000, 6000, 9000, 12000, 15000),
                      width=500, n=256):
