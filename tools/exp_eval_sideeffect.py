@@ -38,6 +38,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--rounds", type=int, default=30,
                    help="boundary-crossing eval dispatches to fire")
+    p.add_argument("--group", type=int, default=25,
+                   help="scan steps per eval dispatch (real epoch-end eval "
+                        "gathers the FULL val split in one call: 250)")
+    p.add_argument("--interleave-train", action="store_true",
+                   help="fire a donated train dispatch between crossing "
+                        "evals (the real loop's buffer churn)")
     args = p.parse_args(argv)
 
     from cilrs_tpu.cli.common import (build_map, enable_compilation_cache,
@@ -94,17 +100,47 @@ def main(argv=None):
     state = create_train_state(cfg, jax.random.PRNGKey(cfg.training.seed),
                                steps_per_epoch=1062)
 
+    if args.interleave_train:
+        from cilrs_tpu.train.steps import make_train_step
+        import functools
+
+        base_train_step = make_train_step(cfg)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def train_steps(state, dds, idxs, rng):
+            def body(st, batch):
+                st2, parts = base_train_step(st, batch, rng)
+                return st2, parts["loss"]
+
+            return jax.lax.scan(body, state, _gather_group(dds, idxs))
+
     rng = np.random.RandomState(3)
-    safe = rng.randint(0, 150_000, size=(25, 120)).astype(np.int32)
-    cross = rng.randint(161_320, args.frames, size=(25, 120)).astype(np.int32)
+    G = args.group
+    safe = rng.randint(0, 150_000, size=(G, 120)).astype(np.int32)
+    # Real val composition: rows spanning the whole table, ~19% past the
+    # 2^33 boundary — not crossing-only (matches the r4f/r4e failure mode).
+    cross = rng.randint(0, args.frames, size=(G, 120)).astype(np.int32)
+    tr_idx = rng.randint(0, 150_000, size=(25, 120)).astype(np.int32)
 
     ref = jax.device_get(eval_steps(state, dds, jnp.asarray(safe)))
     fp0 = fingerprint(state)
     print(f"params fingerprint before: {fp0}")
-    print(f"safe-eval loss[0] {float(ref[0][0]):.6f}")
+    print(f"safe-eval loss[0] {float(ref[0][0]):.6f}  (group={G}, "
+          f"interleave_train={args.interleave_train})")
 
     drift = False
     for r in range(args.rounds):
+        if args.interleave_train:
+            # Donated train dispatch: state buffers freed + reallocated —
+            # the HBM churn the fixed-state probe lacked. Use a throwaway
+            # state copy so the comparison state itself never moves.
+            st2 = jax.tree.map(
+                lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+                state)
+            st2, _ = train_steps(st2, dds, jnp.asarray(tr_idx),
+                                 jax.random.PRNGKey(r))
+            jax.block_until_ready(st2.step)
+            del st2
         out = eval_steps(state, dds, jnp.asarray(cross))
         jax.block_until_ready(out[0])
         again = jax.device_get(eval_steps(state, dds, jnp.asarray(safe)))
