@@ -104,6 +104,16 @@ def train(
     mesh = mesh or make_mesh()
     bspec = batch_spec(mesh)
 
+    if refresh_fn is not None and (max_train_frames is not None
+                                   or train_row_mask is not None):
+        # The bisect controls restrict the INITIAL split only; after a refresh
+        # swaps the table, train_idx resets to the new collection and any
+        # restriction would be silently dropped (round-3 advisor finding).
+        raise ValueError(
+            "max_train_frames / train_row_mask cannot be combined with "
+            "refresh_fn: the restriction would be silently dropped at the "
+            "first table refresh")
+
     train_idx, val_idx = stratified_split(ds, cfg.training.val_fraction, cfg.training.seed)
     if max_train_frames is not None and len(train_idx) > max_train_frames:
         # Random train-split subsample at a FIXED val split: the control arm

@@ -77,6 +77,10 @@ def main(argv=None):
 
     env = labels["env"]
     night = (env % 5) == 3
+    assert night.any() and (~night).any(), (
+        "the weather-alignment oracle needs a MIXED-weather collection "
+        "(night and non-night rows); this table has only one population — "
+        "collect with weather_idx=None")
     # Thresholds from the shader: night frames average far darker than any
     # day weather. Use the global separation point between the two label
     # populations' medians as the split.
