@@ -41,7 +41,9 @@ from cilrs_tpu.config import (
 from cilrs_tpu.core.state import default_vehicle_params
 from cilrs_tpu.maps.network import RoadNetwork, host_arrays
 from cilrs_tpu.maps.routing import chained_route_pool
-from cilrs_tpu.ops.gather import LANE, padded_row_elems
+from cilrs_tpu.ops.gather import (
+    LANE, PAGE_BYTE_LIMIT, padded_row_elems, paged_layout,
+)
 from cilrs_tpu.render.camera import CameraSpec
 from cilrs_tpu.render.raster import CAMERA
 
@@ -92,13 +94,21 @@ def collect_resident(
     cam: CameraSpec = CAMERA,
     output_dir: str | None = None,
     verbose: bool = True,
+    max_page_bytes: int = PAGE_BYTE_LIMIT,
 ) -> tuple[dict, dict, dict]:
     """Collect exactly `num_frames` teacher-labeled frames into HBM.
 
     Returns (table, labels, stats):
-      - table: device arrays — images [N, R, 128] uint8 (gather_rows layout,
-        rows tile-dense-padded), speed [N] f32 (normalized), command [N] i32,
-        controls [N, 3] f32, image_shape metadata;
+      - table: device arrays — images: a TUPLE of pages, each [S, R, 128]
+        uint8 (gather_rows layout, rows tile-dense-padded) and each strictly
+        under 2^33 bytes (ops/gather.PAGE_BYTE_LIMIT — the boundary every
+        collapsed big-table training run's eval gather crossed; paging keeps
+        all gather operands below it, which is what lifted the round-4 157k-
+        frame quarantine); page_rows (logical rows per non-final page; global
+        row g = pages[g // page_rows][g % page_rows]); speed [N] f32
+        (normalized), command [N] i32, controls [N, 3] f32, image_shape.
+        Collections under ~157k frames fit one page and behave exactly as
+        before.
       - labels: the same labels as host numpy, plus speed_kmh / pos / yaw /
         obstacle_dist / tl_state for CSV + noise-floor tooling;
       - stats: frames/s, sim Hz, command distribution.
@@ -107,6 +117,12 @@ def collect_resident(
     schema, collect_data.py:549-564, image_filename = "resident#<row>"),
     aux.csv and summary.txt — everything but the image bytes.
     """
+    if os.environ.get("CILRS_TPU_ALLOW_BIG_TABLE") == "1":
+        # Diagnostic escape hatch (the round-4 collapse tooling, tools/exp_*):
+        # build ONE monolithic page even past the 2^33-byte boundary, so the
+        # pathological boundary-crossing gathers stay reproducible.
+        max_page_bytes = 2 ** 40
+
     rng = np.random.RandomState(seed)
     wt = load_weather_table()
     params = default_vehicle_params()
@@ -119,54 +135,49 @@ def collect_resident(
     R = D_pad // LANE
     N = num_frames
     M = num_envs * chunk_steps
-    # M slack slots: each chunk writes its FULL [M]-row block (kept frames
-    # sorted first) with one contiguous dynamic_update_slice at the cursor,
-    # then advances by the kept count — the dropped-frame tail is overwritten
-    # by the next chunk. Per-row scatter compaction is the wrong primitive on
-    # TPU (XLA expands big scatters into serial per-row loops: measured ~30x
-    # slower chunks AND a ~3x longer compile); one DUS is a single DMA. The
-    # slack guarantees cursor + M <= N_slots, so the DUS never clamps and
-    # garbage rows never land inside [0, N).
-    n_slots = N + M
+    # M slack slots per page: each chunk writes its FULL [M]-row block (kept
+    # frames sorted first) with one contiguous dynamic_update_slice at the
+    # cursor, then advances by the kept count — the dropped-frame tail is
+    # overwritten by the next chunk. Per-row scatter compaction is the wrong
+    # primitive on TPU (XLA expands big scatters into serial per-row loops:
+    # measured ~30x slower chunks AND a ~3x longer compile); one DUS is a
+    # single DMA. The slack guarantees cursor + M <= page_slots, so the DUS
+    # never clamps and garbage rows never land inside the logical range.
+    #
+    # Pages: each page is an independent physical table strictly under
+    # max_page_bytes (2^33 by default — the offset boundary behind the
+    # round-4 big-table training collapse; see ops/gather.PAGE_BYTE_LIMIT).
+    # Pages are balanced so one compiled chunk program serves them all; when
+    # a page's cursor passes its logical capacity the (< M) overshoot rows
+    # are dropped and collection continues into a fresh page.
+    num_pages, page_rows, page_slots = paged_layout(
+        N, R * LANE, M, max_page_bytes)
 
-    # Guard: tables at/above 2^33 bytes are quarantined. Every training run
-    # whose fixed-table VAL rows sit past the 2^33-byte offset (row 161,320
-    # at 53,248 B/row) collapses on LEFT/RIGHT steering, while the data, the
-    # standalone reads, and a single train dispatch all audit bit-faithful —
-    # see RESULTS_training.md "Round 4" and tools/exp_{checksum,
-    # table_integrity,dispatch_divergence,tail_poison}.py. Until the root
-    # cause is pinned, collections must stay under the line (150k frames is
-    # the proven-healthy flagship size); the experiment tools opt out via
-    # CILRS_TPU_ALLOW_BIG_TABLE=1.
-    table_bytes = n_slots * R * LANE
-    if table_bytes >= 2 ** 33 and os.environ.get(
-            "CILRS_TPU_ALLOW_BIG_TABLE") != "1":
-        raise ValueError(
-            f"resident table would be {table_bytes / 1e9:.2f} GB >= 2^33 B "
-            f"({n_slots} rows x {R * LANE} B): training against tables this "
-            "large is quarantined pending the round-4 collapse root-cause "
-            "(RESULTS_training.md). Collect <= 150k frames, or set "
-            "CILRS_TPU_ALLOW_BIG_TABLE=1 for diagnostic runs.")
+    def _new_page():
+        table = {
+            "images": jnp.zeros((page_slots, R, LANE), jnp.uint8),
+            "speed": jnp.zeros((page_slots,), jnp.float32),
+            "command": jnp.zeros((page_slots,), jnp.int32),
+            "controls": jnp.zeros((page_slots, 3), jnp.float32),
+        }
+        aux = {
+            "speed_kmh": jnp.zeros((page_slots,), jnp.float32),
+            "pos": jnp.zeros((page_slots, 2), jnp.float32),
+            "yaw": jnp.zeros((page_slots,), jnp.float32),
+            "obstacle_dist": jnp.zeros((page_slots,), jnp.float32),
+            "tl_state": jnp.zeros((page_slots,), jnp.int32),
+            # Provenance for the label-noise tooling: interleaved envs put
+            # temporally-adjacent frames of one env ~num_envs CSV rows apart,
+            # so a row-distance exclusion can't identify "the same pass
+            # through this state" — env id + absolute tick can
+            # (tools/label_noise_floor.py).
+            "env": jnp.zeros((page_slots,), jnp.int32),
+            "tick": jnp.zeros((page_slots,), jnp.int32),
+        }
+        return table, aux
 
-    table = {
-        "images": jnp.zeros((n_slots, R, LANE), jnp.uint8),
-        "speed": jnp.zeros((n_slots,), jnp.float32),
-        "command": jnp.zeros((n_slots,), jnp.int32),
-        "controls": jnp.zeros((n_slots, 3), jnp.float32),
-    }
-    aux = {
-        "speed_kmh": jnp.zeros((n_slots,), jnp.float32),
-        "pos": jnp.zeros((n_slots, 2), jnp.float32),
-        "yaw": jnp.zeros((n_slots,), jnp.float32),
-        "obstacle_dist": jnp.zeros((n_slots,), jnp.float32),
-        "tl_state": jnp.zeros((n_slots,), jnp.int32),
-        # Provenance for the label-noise tooling: interleaved envs put
-        # temporally-adjacent frames of one env ~num_envs CSV rows apart, so a
-        # row-distance exclusion can't identify "the same pass through this
-        # state" — env id + absolute tick can (tools/label_noise_floor.py).
-        "env": jnp.zeros((n_slots,), jnp.int32),
-        "tick": jnp.zeros((n_slots,), jnp.int32),
-    }
+    table, aux = _new_page()
+    done_pages: list[tuple[dict, dict]] = []  # filled pages (logical=page_rows)
     # Flat chunk rows are ordered (t, e): row = t * num_envs + e.
     env_ids = jnp.tile(jnp.arange(num_envs, dtype=jnp.int32), chunk_steps)
     tick_ids = jnp.repeat(jnp.arange(chunk_steps, dtype=jnp.int32), num_envs)
@@ -211,10 +222,16 @@ def collect_resident(
         }
         return tbl2, ax2, fl2, cursor + jnp.sum(keep.astype(jnp.int32))
 
+    # Logical rows per page: every non-final page holds exactly page_rows
+    # (the route g -> (g // page_rows, g % page_rows) depends on this); the
+    # final page holds the remainder.
+    def _logical(p: int) -> int:
+        return page_rows if p < num_pages - 1 else N - (num_pages - 1) * page_rows
+
     cursor = jnp.asarray(0, jnp.int32)
     t0 = time.time()
     chunks = 0
-    max_chunks = 20 * (N // M + 1)
+    max_chunks = 20 * (N // M + 1) + 20 * num_pages
     filled = 0
     while filled < N:
         table, aux, fleet, cursor = chunk(
@@ -234,16 +251,39 @@ def collect_resident(
                 f"collection stalled: {filled}/{N} frames after {chunks} chunks "
                 f"(fleet mostly stationary or in recovery?)")
         # One scalar sync per chunk (~5 ms tunnel RTT vs ~0.3 s of device work).
-        filled = int(cursor)
+        local = int(cursor)
+        if local >= page_rows and len(done_pages) < num_pages - 1:
+            # Page full: the (< M) overshoot rows past page_rows are dropped
+            # and collection rolls into a fresh page (same shapes — the
+            # compiled chunk program is reused as-is).
+            done_pages.append((table, aux))
+            table, aux = _new_page()
+            cursor = jnp.asarray(0, jnp.int32)
+            local = 0
+        filled = len(done_pages) * page_rows + min(local, _logical(len(done_pages)))
         if verbose and chunks % 20 == 0:
             fps = filled / max(time.time() - t0, 1e-9)
             print(f"  resident-collect {filled}/{N} frames ({fps:.0f} frames/s)",
                   flush=True)
 
-    labels = {k: np.asarray(jax.device_get(v))[:N]
-              for k, v in {**{k: table[k] for k in ("speed", "command", "controls")},
-                           **aux}.items()}
-    del aux
+    all_pages = done_pages + [(table, aux)]
+    del done_pages
+
+    # Labels: per-page logical slices, concatenated — device copies for the
+    # training gathers (small: ~20 B/row), host copies for the split/sampler,
+    # CSV parity, and the noise-floor tooling.
+    def _cat_dev(key: str, src: int):
+        parts = [all_pages[p][src][key][: _logical(p)]
+                 for p in range(num_pages)]
+        return parts[0] if num_pages == 1 else jnp.concatenate(parts)
+
+    dev_labels = {k: _cat_dev(k, 0) for k in ("speed", "command", "controls")}
+    labels = {k: np.asarray(jax.device_get(v)) for k, v in dev_labels.items()}
+    labels.update({
+        k: np.concatenate([np.asarray(jax.device_get(
+            all_pages[p][1][k][: _logical(p)])) for p in range(num_pages)])
+        for k in all_pages[0][1]
+    })
     wall = time.time() - t0  # steady-state wall (post first-chunk)
     steady_frames = N - filled0
     steady_steps = (chunks - 1) * M
@@ -258,8 +298,15 @@ def collect_resident(
         "env_steps_per_sec": steady_steps / max(wall, 1e-9),
         "sim_hz": steady_frames / max(DT * chunk_steps * (chunks - 1), 1e-9),
         "keep_fraction": N / max(chunks * M, 1),
+        "num_pages": num_pages,
+        "page_rows": page_rows,
     }
-    table["image_shape"] = (H, W, 3)
+    table = {
+        "images": tuple(all_pages[p][0]["images"] for p in range(num_pages)),
+        **dev_labels,
+        "page_rows": page_rows,
+        "image_shape": (H, W, 3),
+    }
 
     if output_dir is not None:
         _write_session_csv(output_dir, labels, stats, num_envs, weather_idx)
@@ -268,6 +315,18 @@ def collect_resident(
               f"({stats['frames_per_sec']:.0f} frames/s, "
               f"{stats['env_steps_per_sec']:.0f} env-steps/s)", flush=True)
     return table, labels, stats
+
+
+def unwrap_monolithic(table: dict) -> dict:
+    """Rebind table["images"] from a 1-page tuple to the bare page array.
+
+    For the diagnostic tools (tools/exp_*), which poke at raw row offsets of
+    a single physical table; production consumers take the paged tuple.
+    """
+    (page,) = table["images"]
+    table = dict(table)
+    table["images"] = page
+    return table
 
 
 def labels_dataset(labels: dict):

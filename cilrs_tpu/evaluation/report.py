@@ -96,11 +96,12 @@ def collect_predictions_resident(state, table: dict, labels: dict,
     import jax
     import jax.numpy as jnp
 
-    from cilrs_tpu.ops.gather import gather_rows
+    from cilrs_tpu.ops.gather import gather_rows_paged
     from cilrs_tpu.train.steps import make_eval_step
 
     img_shape = tuple(table["image_shape"])
     D = int(np.prod(img_shape))
+    page_rows = int(table.get("page_rows", 0))
     base_eval = make_eval_step(cfg)
     K = 25
 
@@ -108,7 +109,9 @@ def collect_predictions_resident(state, table: dict, labels: dict,
     def eval_group(state_, dds, idxs):  # idxs [K, B] global rows
         flat = idxs.reshape(-1)
         b = {k: dds[k][flat] for k in ("speed", "command", "controls")}
-        b["images"] = gather_rows(dds["images"], flat)[:, :D].reshape(
+        pages = dds["images"]
+        pages = pages if isinstance(pages, tuple) else (pages,)
+        b["images"] = gather_rows_paged(pages, flat, page_rows)[:, :D].reshape(
             (flat.shape[0],) + img_shape)
         b = jax.tree.map(lambda a: a.reshape(idxs.shape + a.shape[1:]), b)
 

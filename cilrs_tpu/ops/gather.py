@@ -120,3 +120,66 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
     out = _gather_rows_impl(table, idx, interpret)
     # [B, R, 128] -> [B, D]: a relayout copy of just the BATCH (a few MB).
     return out.reshape(out.shape[0], -1)
+
+
+# Hard per-page ceiling for paged tables. Every training run whose epoch-end
+# eval issued a single row-gather crossing the 2^33-byte table offset
+# collapsed on LEFT/RIGHT steering (5/5: r3g, r3l, r3n, r4e, r4f), while
+# bit-level audits cleared the data, the standalone reads, and the train
+# dispatch (RESULTS_training.md "Round 4"). 2^33 bytes = 2^31 4-byte words —
+# the signature of a 32-bit word-offset overflow somewhere below the Mosaic
+# gather. Paging keeps every gather's source operand strictly below the line.
+PAGE_BYTE_LIMIT = 2 ** 33
+
+
+def gather_rows_paged(pages, idx: jnp.ndarray, page_rows: int,
+                      interpret: bool | None = None) -> jnp.ndarray:
+    """Gather global rows from a PAGED table -> [B, D].
+
+    ``pages`` is a sequence of [n_p, R, 128] arrays, each strictly under
+    PAGE_BYTE_LIMIT bytes (data/resident.py sizes them); global row ``g``
+    lives at pages[g // page_rows][g % page_rows]. Non-final pages hold
+    exactly ``page_rows`` logical rows, so the page route is pure index math.
+
+    One gather_rows call per page with the non-member lanes parked on row 0,
+    then a predicated select: for the production 2-page tables this costs 2x
+    the batch's DMA bytes (a few hundred MB per 25-step train group — noise
+    next to the ResNet fwd+bwd), and NO gather ever sees an operand at or
+    past the 2^33-byte offset.
+    """
+    pages = tuple(pages)
+    if len(pages) == 1:
+        return gather_rows(pages[0], idx, interpret)
+    idx = idx.astype(jnp.int32)
+    page = idx // page_rows
+    local = idx - page * page_rows
+    out = None
+    for i, pg in enumerate(pages):
+        sel = page == i
+        g = gather_rows(pg, jnp.where(sel, local, 0), interpret)
+        out = g if out is None else jnp.where(sel[:, None], g, out)
+    return out
+
+
+def paged_layout(num_rows: int, row_bytes: int, slack_rows: int,
+                 max_page_bytes: int = PAGE_BYTE_LIMIT):
+    """(num_pages, page_rows, page_slots) for a table of ``num_rows`` logical
+    rows where every page needs ``slack_rows`` physical slack (collection DUS
+    overshoot) and must stay strictly under ``max_page_bytes``.
+
+    Pages are balanced (equal physical size) so the collection chunk program
+    compiles ONCE and is reused for every page.
+    """
+    max_slots = max_page_bytes // row_bytes  # slots * row_bytes could == limit
+    if max_slots * row_bytes >= max_page_bytes:
+        max_slots -= 1  # strictly under
+    max_logical = max_slots - slack_rows
+    if max_logical <= 0:
+        raise ValueError(
+            f"slack ({slack_rows} rows) leaves no room under the "
+            f"{max_page_bytes}-byte page limit at {row_bytes} B/row")
+    num_pages = -(-num_rows // max_logical)
+    page_rows = -(-num_rows // num_pages)
+    page_slots = page_rows + slack_rows
+    assert page_slots * row_bytes < max_page_bytes
+    return num_pages, page_rows, page_slots

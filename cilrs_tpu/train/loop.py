@@ -215,21 +215,35 @@ def train(
     val_rows = None  # res_mode only: rows of the val split in val_table
     if res_mode:
         assert n_dev == 1, "resident-table training is the single-chip path"
-        from cilrs_tpu.ops.gather import LANE, gather_rows
+        from cilrs_tpu.ops.gather import LANE, gather_rows_paged
 
         img_shape = tuple(resident["image_shape"])
         D = int(np.prod(img_shape))
+        # Paged images (data/resident.py): a tuple of sub-2^33-byte pages
+        # routed by page_rows. A bare array (legacy tools / val snapshots)
+        # is a single page.
+        page_rows = int(resident.get("page_rows", 0))
         dev_train = {
             k: resident[k] for k in ("images", "speed", "command", "controls")
         }
+        if not isinstance(dev_train["images"], tuple):
+            dev_train["images"] = (dev_train["images"],)
         resident = None  # must not pin the table once refresh_fn swaps it
+
+        def _gather(dds, idx):
+            b = {k: v[idx] for k, v in dds.items() if k != "images"}
+            pages = dds["images"]
+            pages = pages if isinstance(pages, tuple) else (pages,)
+            b["images"] = gather_rows_paged(pages, idx, page_rows)[:, :D].reshape(
+                (idx.shape[0],) + img_shape)
+            return b
 
         # Val rows snapshot into an independent compact table (~val_fraction
         # of the collection): what val_loss measures never changes when
         # refresh_fn swaps the train table underneath.
         @jax.jit
         def _snap_val(dds, idx):
-            rows = gather_rows(dds["images"], idx)  # [V, D_pad]
+            rows = gather_rows_paged(dds["images"], idx, page_rows)  # [V, D_pad]
             return {
                 "images": rows.reshape(rows.shape[0], -1, LANE),
                 "speed": dds["speed"][idx],
@@ -249,12 +263,6 @@ def train(
             dev_val = jax.block_until_ready(
                 _snap_val(dev_train, jnp.asarray(val_idx)))
             val_rows = np.arange(len(val_idx))
-
-        def _gather(dds, idx):
-            b = {k: v[idx] for k, v in dds.items() if k != "images"}
-            b["images"] = gather_rows(dds["images"], idx)[:, :D].reshape(
-                (idx.shape[0],) + img_shape)
-            return b
 
         def _gather_group(dds, idxs):  # idxs [K, B] -> dict of [K, B, ...]
             b = _gather(dds, idxs.reshape(-1))
@@ -441,11 +449,17 @@ def train(
         def _run_val(st):
             val_losses, err_sum, cnt = [], np.zeros(4), np.zeros(4)
             if dev_resident:
-                losses, errs, cnts = eval_steps(
-                    st, jnp.asarray(np.stack(val_iter)))
-                val_losses = [float(l) for l in np.asarray(losses)]
-                err_sum += np.asarray(errs).sum(axis=0)
-                cnt += np.asarray(cnts).sum(axis=0)
+                # Dispatches of <= 50 batches: each group's row gather stays
+                # small (<= 6k rows, ~320 MB out) instead of materializing the
+                # whole val split's frames (1.4 GB+) in one gather — both an
+                # HBM-peak bound and part of the big-table hygiene (no huge
+                # single gather calls; see ops/gather.gather_rows_paged).
+                vi = np.stack(val_iter)
+                for s in range(0, len(vi), 50):
+                    losses, errs, cnts = eval_steps(st, jnp.asarray(vi[s:s + 50]))
+                    val_losses += [float(l) for l in np.asarray(losses)]
+                    err_sum += np.asarray(errs).sum(axis=0)
+                    cnt += np.asarray(cnts).sum(axis=0)
             else:
                 for parts in (eval_step(st, b) for b in _prefetch(
                         val_iter, lambda vidx: _device_batch(ds, vidx, bspec))):
@@ -521,8 +535,18 @@ def train(
             t_r = time.time()
             new_table, new_ds = refresh_fn(refresh_round)
             refresh_round += 1
+            if int(new_table.get("page_rows", 0)) != page_rows:
+                # The compiled gather programs bake page_rows in as a
+                # constant; a refresh table with a different page layout
+                # would silently route rows to the wrong page.
+                raise ValueError(
+                    f"refresh table page_rows {new_table.get('page_rows')} "
+                    f"!= initial {page_rows}: refresh collections must use "
+                    "the same frame count / page layout as the initial one")
             dev_train = {k: new_table[k]
                          for k in ("images", "speed", "command", "controls")}
+            if not isinstance(dev_train["images"], tuple):
+                dev_train["images"] = (dev_train["images"],)
             del new_table
             train_idx = np.arange(len(new_ds))
             sampler = WeightedBatchSampler(
@@ -553,7 +577,8 @@ def train(
             # report against it (the original shared table may be long gone).
             # With a fixed table this IS the collection table; val_rows maps
             # the val split into it either way.
-            "val_table": (dict(dev_val, image_shape=img_shape)
+            "val_table": (dict(dev_val, image_shape=img_shape,
+                               page_rows=page_rows)
                           if res_mode else None),
             "val_rows": val_rows if res_mode else None}
 

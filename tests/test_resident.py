@@ -43,9 +43,13 @@ def test_table_layout_and_compaction(resident_out):
     table, labels, stats, _ = resident_out
     D = 32 * 64 * 3
     R = padded_row_elems(D, np.uint8) // LANE
+    # Single-page collection: images is a 1-tuple of pages.
+    assert isinstance(table["images"], tuple) and len(table["images"]) == 1
+    assert table["page_rows"] == 160
+    img0 = table["images"][0]
     # 160 dataset rows + one chunk (2 envs x 50 ticks) of DUS slack.
-    assert table["images"].shape == (160 + 100, R, LANE)
-    assert table["images"].dtype == jnp.uint8
+    assert img0.shape == (160 + 100, R, LANE)
+    assert img0.dtype == jnp.uint8
     assert table["image_shape"] == (32, 64, 3)
     # Compaction: every dataset row [0, N) is a kept (moving, nominal)
     # frame — no invalid slots, unlike the fused ring's masked writes.
@@ -60,8 +64,8 @@ def test_table_layout_and_compaction(resident_out):
     # Device labels mirror host labels over the dataset rows.
     np.testing.assert_allclose(np.asarray(table["speed"])[:160], labels["speed"])
     # Rows hold real pixels (a rendered frame is never all-zero).
-    assert np.asarray(jnp.sum(table["images"][0])) > 0
-    assert np.asarray(jnp.sum(table["images"][159])) > 0
+    assert np.asarray(jnp.sum(img0[0])) > 0
+    assert np.asarray(jnp.sum(img0[159])) > 0
 
 
 def test_session_csv_parity(resident_out):
@@ -108,7 +112,8 @@ def test_refresh_swaps_train_table(resident_out):
         calls.append(i)
         perm = np.arange(n)[::-1].copy()  # same frames, new row order
         t2 = {
-            "images": jnp.asarray(np.asarray(table["images"])[:n][perm]),
+            "page_rows": n,
+            "images": jnp.asarray(np.asarray(table["images"][0])[:n][perm]),
             "speed": jnp.asarray(labels["speed"][perm]),
             "command": jnp.asarray(labels["command"][perm]),
             "controls": jnp.asarray(labels["controls"][perm]),
@@ -130,10 +135,87 @@ def test_refresh_swaps_train_table(resident_out):
     assert vt is not None and vt["images"].shape[0] == len(val_idx)
     assert vt["image_shape"] == (32, 64, 3)
     # Snapshot rows are the val rows of the ORIGINAL table, bit-exact.
-    direct = np.asarray(table["images"])[val_idx]
+    direct = np.asarray(table["images"][0])[val_idx]
     np.testing.assert_array_equal(np.asarray(vt["images"]), direct)
     np.testing.assert_allclose(np.asarray(vt["speed"]),
                                labels["speed"][val_idx])
+
+
+@pytest.fixture(scope="module")
+def paged_out(mini_town):
+    """A forced-3-page collection (tiny max_page_bytes): the production
+    layout for >2^33-byte datasets, on CPU-sized shapes."""
+    D_pad = padded_row_elems(32 * 64 * 3, np.uint8)
+    # 4 envs x 25 ticks -> M=100 slack/page; max 160 slots/page -> 60 logical
+    # -> 3 balanced pages of 54 rows for N=160.
+    table, labels, stats = collect_resident(
+        mini_town, num_frames=160, num_envs=4, num_vehicles=4,
+        num_pedestrians=2, weather_idx=None, seed=5, chunk_steps=25,
+        cam=TINY_CAM, verbose=False, max_page_bytes=161 * D_pad,
+    )
+    return table, labels, stats
+
+
+def test_paged_collection_layout(paged_out):
+    table, labels, stats = paged_out
+    assert stats["num_pages"] == 3 and stats["page_rows"] == 54
+    assert isinstance(table["images"], tuple) and len(table["images"]) == 3
+    assert table["page_rows"] == 54
+    # Each page physically holds page_rows + slack; logical rows: 54/54/52.
+    for pg in table["images"]:
+        assert pg.shape[0] == 54 + 100
+    assert len(labels["speed"]) == 160
+    # Device label concat mirrors host labels across page boundaries.
+    np.testing.assert_allclose(np.asarray(table["speed"]), labels["speed"])
+    np.testing.assert_array_equal(np.asarray(table["command"]),
+                                  labels["command"])
+
+
+def test_paged_gather_and_alignment(paged_out):
+    """gather_rows_paged routes global rows to the right page (vs direct
+    per-page reads), and image<->label alignment survives page rollover:
+    rows labeled night (env % 5 == 3) must render far darker than clear."""
+    from cilrs_tpu.ops.gather import gather_rows_paged
+
+    table, labels, _ = paged_out
+    page_rows = table["page_rows"]
+    rng = np.random.RandomState(0)
+    idx = rng.randint(0, 160, size=24)
+    rows = np.asarray(gather_rows_paged(
+        table["images"], jnp.asarray(idx), page_rows))
+    for k, g in enumerate(idx):
+        direct = np.asarray(table["images"][g // page_rows][g % page_rows])
+        np.testing.assert_array_equal(rows[k], direct.reshape(-1),
+                                      err_msg=f"global row {g}")
+    # Weather-brightness oracle across ALL rows (catches misrouted pages).
+    D = 32 * 64 * 3
+    all_rows = np.concatenate([
+        np.asarray(gather_rows_paged(table["images"],
+                                     jnp.arange(s, min(s + 64, 160)),
+                                     page_rows))
+        for s in range(0, 160, 64)])
+    means = all_rows[:, :D].astype(np.float32).mean(axis=1)
+    night = (labels["env"] % 5) == 3
+    if night.any() and (~night).any():
+        assert means[night].mean() < 0.55 * means[~night].mean()
+
+
+def test_paged_train_and_report(paged_out, tmp_path):
+    """End-to-end on a multi-page table: train gathers + epoch evals route
+    across pages, and the offline report runs against the paged val table."""
+    table, labels, _ = paged_out
+    ds = labels_dataset(labels)
+    out = train(ds, TINY_CFG, ckpt_dir=str(tmp_path / "ck"), steps_per_epoch=4,
+                verbose=False, mesh=make_mesh(1), resident=table)
+    assert np.isfinite(out["best_val_loss"])
+    _, val_idx = stratified_split(ds, 0.15, 42)
+    # Val rows span the page boundary (global split over 160 rows, 3 pages).
+    assert (val_idx >= table["page_rows"]).any() and (val_idx < table["page_rows"]).any()
+    pred, true, cmd = collect_predictions_resident(
+        out["state"], table, labels, val_idx, 8, TINY_CFG)
+    assert pred.shape == true.shape and np.all(np.isfinite(pred))
+    report = offline_report(pred, true, cmd)
+    assert np.isfinite(report["steer"]["mae"])
 
 
 def test_resident_gather_matches_table(resident_out):
@@ -142,8 +224,8 @@ def test_resident_gather_matches_table(resident_out):
 
     table, labels, _, _ = resident_out
     idx = jnp.asarray([0, 7, 159, 33])
-    rows = np.asarray(gather_rows(table["images"], idx))
-    direct = np.asarray(table["images"])[np.asarray(idx)].reshape(4, -1)
+    rows = np.asarray(gather_rows(table["images"][0], idx))
+    direct = np.asarray(table["images"][0])[np.asarray(idx)].reshape(4, -1)
     np.testing.assert_array_equal(rows, direct)
     D = 32 * 64 * 3
     imgs = rows[:, :D].reshape(4, 32, 64, 3)

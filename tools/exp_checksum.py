@@ -51,7 +51,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from cilrs_tpu.data.resident import collect_resident
+    from cilrs_tpu.data.resident import collect_resident, unwrap_monolithic
     from cilrs_tpu.ops.gather import gather_rows
 
     net = build_map("town01")
@@ -101,6 +101,7 @@ def main(argv=None):
     table, _, _ = collect_resident(net, args.small, num_envs=args.envs,
                                    num_vehicles=12, num_pedestrians=6,
                                    weather_idx=None, seed=args.seed)
+    table = unwrap_monolithic(table)
     s_small, h_small = checksums_gather(table["images"], args.small)
     del table
     import gc
@@ -110,6 +111,7 @@ def main(argv=None):
     table, _, _ = collect_resident(net, args.big, num_envs=args.envs,
                                    num_vehicles=12, num_pedestrians=6,
                                    weather_idx=None, seed=args.seed)
+    table = unwrap_monolithic(table)
     s_big_g, h_big_g = checksums_gather(table["images"], args.big)
     s_big_d, h_big_d = checksums_dynslice(table["images"], args.big)
 

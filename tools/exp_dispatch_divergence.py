@@ -51,7 +51,7 @@ def run_phase(frames, idxs_np, seed):
 
     from cilrs_tpu.cli.common import build_map
     from cilrs_tpu.config import load_train_config
-    from cilrs_tpu.data.resident import collect_resident
+    from cilrs_tpu.data.resident import collect_resident, unwrap_monolithic
     from cilrs_tpu.ops.gather import gather_rows
     from cilrs_tpu.train.state import create_train_state
     from cilrs_tpu.train.steps import make_train_step
@@ -60,6 +60,7 @@ def run_phase(frames, idxs_np, seed):
     table, _, _ = collect_resident(net, frames, num_envs=16, num_vehicles=12,
                                    num_pedestrians=6, weather_idx=None,
                                    seed=seed)
+    table = unwrap_monolithic(table)
     cfg = load_train_config()
     img_shape = tuple(table["image_shape"])
     D = int(np.prod(img_shape))

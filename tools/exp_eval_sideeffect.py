@@ -55,7 +55,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from cilrs_tpu.config import load_train_config
-    from cilrs_tpu.data.resident import collect_resident
+    from cilrs_tpu.data.resident import collect_resident, unwrap_monolithic
     from cilrs_tpu.ops.gather import gather_rows
     from cilrs_tpu.train.state import create_train_state
     from cilrs_tpu.train.steps import make_eval_step
@@ -64,6 +64,7 @@ def main(argv=None):
     table, _, _ = collect_resident(net, args.frames, num_envs=args.envs,
                                    num_vehicles=12, num_pedestrians=6,
                                    weather_idx=None, seed=args.seed)
+    table = unwrap_monolithic(table)
     cfg = load_train_config()
     img_shape = tuple(table["image_shape"])
     D = int(np.prod(img_shape))

@@ -52,13 +52,14 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from cilrs_tpu.data.resident import collect_resident
+    from cilrs_tpu.data.resident import collect_resident, unwrap_monolithic
     from cilrs_tpu.ops.gather import gather_rows
 
     net = build_map("town01")
     table, labels, _ = collect_resident(
         net, args.frames, num_envs=args.envs, num_vehicles=12,
         num_pedestrians=6, weather_idx=None, seed=args.seed)
+    table = unwrap_monolithic(table)
 
     H, W, C = table["image_shape"]
     D = H * W * C

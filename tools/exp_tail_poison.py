@@ -144,7 +144,8 @@ def main(argv=None):
 
     from cilrs_tpu.config import load_train_config
     from cilrs_tpu.data.dataset import stratified_split
-    from cilrs_tpu.data.resident import collect_resident, labels_dataset
+    from cilrs_tpu.data.resident import (
+        collect_resident, labels_dataset, unwrap_monolithic)
     from cilrs_tpu.evaluation.report import (collect_predictions_resident,
                                              offline_report, save_report)
     from cilrs_tpu.train.checkpoint import restore_best_params
@@ -162,13 +163,13 @@ def main(argv=None):
     print(f"collect: {time.time() - t0:.0f}s", flush=True)
 
     print("\n=== image probes (zero training) ===", flush=True)
-    stats = pixel_band_stats(table, labels)
+    stats = pixel_band_stats(unwrap_monolithic(table), labels)
     for row in stats:
         print(f"  {row}", flush=True)
     with open(os.path.join(args.workdir, "pixel_band_stats.json"), "w") as f:
         json.dump(stats, f, indent=2)
     sheet = os.path.join(args.workdir, "turn_frames_early_vs_late.png")
-    turn_contact_sheet(table, labels, sheet)
+    turn_contact_sheet(unwrap_monolithic(table), labels, sheet)
     print(f"  contact sheet -> {sheet}", flush=True)
     if args.skip_train:
         return
