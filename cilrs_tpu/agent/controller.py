@@ -141,9 +141,19 @@ def safety_controller(
     hint: jnp.ndarray,  # steer hint from route
     obs_dist: jnp.ndarray,  # m (999 = none)
     tl_state: jnp.ndarray,  # i32 traffic-light state
+    red_ahead: jnp.ndarray | None = None,  # bool — queued behind a red
 ):
     """Returns (control [steer, throttle, brake], reverse flag, status i32,
-    new CtrlState, events dict)."""
+    new CtrlState, events dict).
+
+    red_ahead (perception.red_light_ahead): our lane's next light within 40 m
+    is red, even when it's outside the 15 m obey gate — i.e. the traffic
+    we're queued behind is light-bound. The overtake trigger and the
+    waiting-for-traffic clock hold while it is true: the reference escalates
+    a 4 s wait behind a "stuck" obstacle into overtake->reverse->teleport
+    (model/autonomous_drive.py:1216-1242), which against a red-light queue
+    rescues the car out of a lawful wait (the round-4 Clear-run teleports).
+    """
     now = world.time_s
     w = jax.tree.map(lambda a: a[world.weather_idx], wt)
 
@@ -178,6 +188,8 @@ def safety_controller(
     red = tl_state == LIGHT_RED
     yellow_stop = (tl_state == LIGHT_YELLOW) & (speed_kmh < 30.0)
     light_gate = red | yellow_stop
+    if red_ahead is None:
+        red_ahead = jnp.asarray(False)
 
     # --- overtake / reverse state machine ---
     left_ok, right_ok = can_overtake(net, world)
@@ -192,6 +204,7 @@ def safety_controller(
         & (waited > 4.0)
         & red_grace
         & ~light_gate
+        & ~red_ahead  # queued behind a red is not "stuck behind an obstacle"
     )
     start_lane = trigger & (left_ok | right_ok)
     start_rev = trigger & ~(left_ok | right_ok) & (waited > 8.0)
@@ -380,7 +393,7 @@ def safety_controller(
     waiting_for_red = red
     red_clear_time = jnp.where(light_gate, ctrl.red_clear_time, now)
 
-    entering_wait = (in_hard | in_slow) & ~light_gate & ~overtake_active
+    entering_wait = (in_hard | in_slow) & ~light_gate & ~overtake_active & ~red_ahead
     traffic_wait_start = jnp.where(
         entering_wait,
         jnp.where(ctrl.traffic_wait_start > T_NONE / 2, ctrl.traffic_wait_start, now),

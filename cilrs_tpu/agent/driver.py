@@ -61,6 +61,7 @@ MAX_CONSECUTIVE_RECOVERIES = 5
 STUCK_DIST_M = 3.0
 STUCK_TIME_S = 15.0
 TRAFFIC_WAIT_MAX_S = 25.0
+HARD_STUCK_S = 75.0  # red-hold backstop: ~3 light cycles with no movement
 OFF_ROAD_STREAK_MAX = 10
 TELEPORT_AHEAD = 5
 
@@ -78,6 +79,8 @@ class DriverState:
     had_collision: jnp.ndarray  # bool latch from last tick
     stuck_anchor_pos: jnp.ndarray  # [2]
     stuck_anchor_time: jnp.ndarray  # f32
+    move_anchor_pos: jnp.ndarray  # [2] — refreshes on movement ONLY
+    move_anchor_time: jnp.ndarray  # f32 — hard-stuck backstop clock
     off_road_streak: jnp.ndarray  # i32
     violation_cd_until: jnp.ndarray  # f32 — red-light violation debounce
     route_done: jnp.ndarray  # bool — completion latch for non-looping eval runs
@@ -96,6 +99,8 @@ def make_driver_state(world: WorldState, route_id: int = 0) -> DriverState:
         had_collision=jnp.asarray(False),
         stuck_anchor_pos=world.veh_pos[0],
         stuck_anchor_time=jnp.asarray(0.0, jnp.float32),
+        move_anchor_pos=world.veh_pos[0],
+        move_anchor_time=jnp.asarray(0.0, jnp.float32),
         off_road_streak=jnp.asarray(0, jnp.int32),
         violation_cd_until=jnp.asarray(-1.0, jnp.float32),
         route_done=jnp.asarray(False),
@@ -138,6 +143,7 @@ def env_observe(
     tl_state, tl_idx = perception.check_traffic_light(
         net, lights, ego_pos, ego_yaw, return_index=True
     )
+    red_ahead = perception.red_light_ahead(net, lights, ego_pos, ego_yaw)
     on_road = ~perception.ego_off_road(net, ego_pos)
 
     frame = render_frame(net, world, lights, cam) if want_frame \
@@ -146,6 +152,7 @@ def env_observe(
     return {
         "route_idx": route_idx, "cmd": cmd, "hint": hint,
         "obs_dist": obs_dist, "tl_state": tl_state, "tl_idx": tl_idx,
+        "red_ahead": red_ahead,
         "on_road": on_road, "frame": frame, "speed_kmh": speed_kmh,
         "speed_norm": jnp.clip(speed_kmh / SPEED_NORM_FACTOR, 0.0, 1.0),
     }
@@ -180,6 +187,7 @@ def env_act(
             net, world, state.ctrl, wt,
             nn_steer, nn_gas, nn_brake,
             speed_kmh, cmd, hint, obs_dist, tl_state,
+            red_ahead=obs["red_ahead"],
         )
     else:
         a_steer, a_thr, a_brk = autopilot_controls(
@@ -228,8 +236,12 @@ def env_act(
 
     # --- stuck detection (reference :1430-1464) ---
     # Waiting at a red light is NOT stuck: the anchor clock holds while a red
-    # governs us (red phases last 13 s; queued starts can exceed 15 s).
-    at_red = tl_state == LIGHT_RED
+    # governs us (red phases last 13 s; queued starts can exceed 15 s) OR
+    # while we're queued behind one (red_ahead, perception.red_light_ahead —
+    # a 20-40 m queue position never sees the light through the 15 m obey
+    # gate, and without this the clean-run rescues of runs/benchmark_r4g.json
+    # fire against law-abiding queues).
+    at_red = (tl_state == LIGHT_RED) | obs["red_ahead"]
     moved = jnp.linalg.norm(ego_pos - state.stuck_anchor_pos)
     refresh = (moved > STUCK_DIST_M) | at_red
     anchor_pos = jnp.where(moved > STUCK_DIST_M, ego_pos, state.stuck_anchor_pos)
@@ -238,7 +250,15 @@ def env_act(
     waiting_long = ctrl2.waiting_for_traffic & (
         (now - ctrl2.traffic_wait_start) > TRAFFIC_WAIT_MAX_S
     )
-    stuck = stuck_still | waiting_long
+    # Backstop: the red-hold above can mask a REAL deadlock parked at a
+    # junction (e.g. an NPC gridlock that never clears). A second anchor that
+    # refreshes ONLY on movement bounds the hold: ~3 full light cycles with
+    # < 3 m of net movement is not a queue, whatever the lights say.
+    moved2 = jnp.linalg.norm(ego_pos - state.move_anchor_pos)
+    m_anchor_pos = jnp.where(moved2 > STUCK_DIST_M, ego_pos, state.move_anchor_pos)
+    m_anchor_time = jnp.where(moved2 > STUCK_DIST_M, now, state.move_anchor_time)
+    hard_stuck = (now - m_anchor_time) > HARD_STUCK_S
+    stuck = stuck_still | waiting_long | hard_stuck
 
     # --- NPC traffic + physics ---
     lights = light_states(net, now)
@@ -289,6 +309,8 @@ def env_act(
     consec = jnp.where(teleport, 0, consec)
     anchor_pos = jnp.where(teleport, tp_pos, anchor_pos)
     anchor_time = jnp.where(teleport, now, anchor_time)
+    m_anchor_pos = jnp.where(teleport, tp_pos, m_anchor_pos)
+    m_anchor_time = jnp.where(teleport, now, m_anchor_time)
     off_streak = jnp.where(teleport, 0, off_streak)
     had_collision = had_collision & ~teleport
 
@@ -376,6 +398,8 @@ def env_act(
         had_collision=had_collision,
         stuck_anchor_pos=anchor_pos,
         stuck_anchor_time=anchor_time,
+        move_anchor_pos=m_anchor_pos,
+        move_anchor_time=m_anchor_time,
         off_road_streak=off_streak.astype(jnp.int32),
         violation_cd_until=violation_cd,
         route_done=route_done2,

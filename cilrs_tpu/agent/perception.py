@@ -66,6 +66,45 @@ def check_traffic_light(
     return state
 
 
+RED_AHEAD_DIST = 40.0  # m — queue-aware red-light lookahead (see below)
+
+
+def red_light_ahead(
+    net: RoadNetwork,
+    light_state: jnp.ndarray,  # [L]
+    pos: jnp.ndarray,  # [2]
+    yaw: jnp.ndarray,
+    max_dist: float = RED_AHEAD_DIST,
+    cfg: TrafficLightConfig = TrafficLightConfig(),
+) -> jnp.ndarray:
+    """True if OUR lane's next light within max_dist ahead is red/yellow-held.
+
+    The 15 m obey gate (check_traffic_light) answers "must I stop"; this
+    answers "is the queue I'm in light-bound". A vehicle queued 20-40 m
+    behind a red never sees the light through the obey gate, so its
+    waiting-for-traffic clock runs and, in the reference semantics, escalates
+    to overtake-reverse-teleport against a queue that is merely obeying the
+    signal (the round-4 benchmark's Clear-run rescues). The escalation clocks
+    hold while this is true.
+    """
+    if net.num_lights == 0:
+        return jnp.asarray(False)
+    fwd = heading_vec(yaw)
+    to_light = net.light_xy - pos  # [L,2]
+    approach_fwd = heading_vec(net.light_yaw)  # [L,2]
+    align = jnp.sum(fwd * approach_fwd, axis=-1)
+    lon = -(to_light[:, 0] * approach_fwd[:, 0] + to_light[:, 1] * approach_fwd[:, 1])
+    lat = jnp.abs(to_light[:, 0] * approach_fwd[:, 1] - to_light[:, 1] * approach_fwd[:, 0])
+    relevant = (
+        (lon >= -max_dist) & (lon <= 1.0)
+        & (lat <= 3.0)
+        & (align >= cfg.heading_dot_threshold)
+    )
+    from cilrs_tpu.maps.network import LIGHT_RED
+
+    return jnp.any(relevant & (light_state == LIGHT_RED))
+
+
 PREDICT_HORIZONS = (0.0, 0.6, 1.2)  # s — crossing-traffic anticipation
 
 

@@ -78,15 +78,20 @@ def _format_markdown(results: dict, args) -> str:
     total = 0.0
     collisions = 0.0
     completed = 0
+    teleports = 0.0
+    recoveries = 0.0
     for w, s in results.items():
         rows.append(
             f"| {WEATHER_LABELS.get(w, w)} | {s['overall']:.1f} | {s['grade'].split()[0]} | "
             f"{s['collisions']:.0f} | {'yes' if s['routes_completed'] >= 1 else 'no'} | "
+            f"{s.get('teleports', 0):.0f} | {s.get('recoveries', 0):.0f} | "
             f"{s.get('route_length_m', float('nan')):.0f} m | "
             f"{s['total_time_s']:.0f} s | {s['max_speed_kmh']:.1f} km/h |"
         )
         total += s["overall"]
         collisions += s["collisions"]
+        teleports += s.get("teleports", 0)
+        recoveries += s.get("recoveries", 0)
         completed += int(s["routes_completed"] >= 1)
     avg = total / max(len(results), 1)
     return "\n".join([
@@ -97,12 +102,15 @@ def _format_markdown(results: dict, args) -> str:
         f"20 Hz, duration cap {args.duration:.0f} s. "
         f"Policy: {'rule-based autopilot' if args.autopilot else args.checkpoint or 'untrained'}.",
         "",
-        "| Weather | Overall | Grade | Collisions | Destination | Route | Time | Max speed |",
-        "|---------|---------|-------|------------|-------------|-------|------|-----------|",
+        # Teleports/recoveries are rescues the scoring formula (by reference
+        # parity) cannot see — surfacing them per row keeps scores honest.
+        "| Weather | Overall | Grade | Collisions | Destination | Teleports | Recoveries | Route | Time | Max speed |",
+        "|---------|---------|-------|------------|-------------|-----------|------------|-------|------|-----------|",
         *rows,
         "",
         f"**Average score: {avg:.1f} / 100 — {collisions:.0f} total collisions — "
-        f"{completed}/{len(results)} destinations reached.**",
+        f"{completed}/{len(results)} destinations reached — "
+        f"{teleports:.0f} teleports, {recoveries:.0f} recoveries.**",
         "",
         f"_Scoring: Safety x0.6 + Comfort x0.3 + Route x0.1 "
         f"(reference formula, model/autonomous_drive.py:93-155). Generated {time.strftime('%Y-%m-%d %H:%M')}._",

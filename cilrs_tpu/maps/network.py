@@ -79,6 +79,7 @@ class RoadNetwork:
     light_yaw: jnp.ndarray  # [L] — heading of controlled traffic
     light_group: jnp.ndarray  # [L] i32 — phase group (0 or 1)
     light_wp: jnp.ndarray  # [L] i32 — waypoint at the stop line
+    light_offset: jnp.ndarray  # [L] f32 — per-junction cycle phase offset, s
 
     texture: jnp.ndarray  # [TH, TW, 3] uint8 masks: road, marking, sidewalk
     tex_origin: jnp.ndarray  # [2] world xy of texel (0, 0)
@@ -123,6 +124,7 @@ def host_arrays(net: RoadNetwork) -> HostCache:
         spawn_wp=_np.asarray(net.spawn_wp), light_xy=_np.asarray(net.light_xy),
         light_yaw=_np.asarray(net.light_yaw), light_group=_np.asarray(net.light_group),
         light_wp=_np.asarray(net.light_wp),
+        light_offset=_np.asarray(net.light_offset),
     )
 
 
@@ -131,9 +133,15 @@ def light_states(net: RoadNetwork, time_s: jnp.ndarray) -> jnp.ndarray:
 
     Two phase groups alternate on a fixed cycle (group 0 = east-west approaches,
     group 1 = north-south), the stand-in for CARLA's junction light controllers.
+    Each junction's controller runs at its own phase offset (light_offset,
+    golden-ratio staggered at build time): CARLA's junction controllers are
+    junction-local and mutually unsynchronized, and a town-global clock makes
+    inter-junction travel times resonate with the cycle — a route that catches
+    one red then catches EVERY red (the fog-benchmark 14-stop timeout,
+    RESULTS_trained.md round-4 diagnosis).
     """
     t = jnp.mod(time_s, LIGHT_CYCLE_S)
-    local = t - net.light_group.astype(jnp.float32) * LIGHT_PHASE_S
+    local = t - net.light_group.astype(jnp.float32) * LIGHT_PHASE_S - net.light_offset
     local = jnp.mod(local, LIGHT_CYCLE_S)
     return jnp.where(
         local < LIGHT_GREEN_S,
@@ -145,8 +153,9 @@ def light_states(net: RoadNetwork, time_s: jnp.ndarray) -> jnp.ndarray:
 def light_state_ages(net: RoadNetwork, time_s: jnp.ndarray) -> jnp.ndarray:
     """Seconds since each light entered its current state ([L] f32)."""
     t = jnp.mod(time_s, LIGHT_CYCLE_S)
-    local = jnp.mod(t - net.light_group.astype(jnp.float32) * LIGHT_PHASE_S,
-                    LIGHT_CYCLE_S)
+    local = jnp.mod(
+        t - net.light_group.astype(jnp.float32) * LIGHT_PHASE_S - net.light_offset,
+        LIGHT_CYCLE_S)
     return jnp.where(
         local < LIGHT_GREEN_S,
         local,
@@ -411,21 +420,30 @@ def build_network(
     spawn_wp = np.asarray(spawn, np.int32)
 
     # Traffic lights: one per incoming lane at junction nodes (degree >= 3).
-    lxy, lyaw, lgroup, lwp = [], [], [], []
+    # Every light at one junction shares a phase OFFSET unique to that
+    # junction (golden-ratio stagger over the cycle): junction controllers
+    # are mutually unsynchronized like CARLA's, killing the town-global
+    # red-wave resonance (see light_states).
+    lxy, lyaw, lgroup, lwp, loff = [], [], [], [], []
     if with_lights:
+        n_junctions = 0
         for nidx in range(len(nodes)):
             if degree[nidx] < 3:
                 continue
+            j_offset = (n_junctions * 0.618033988749895) % 1.0 * LIGHT_CYCLE_S
+            n_junctions += 1
             for (fi, li, hi, ei, ki) in incoming.get(nidx, []):
                 lxy.append(wp_xy[li])
                 lyaw.append(np.arctan2(hi[1], hi[0]))
                 lgroup.append(0 if abs(hi[0]) >= abs(hi[1]) else 1)
                 lwp.append(li)
+                loff.append(j_offset)
     L = len(lxy)
     light_xy = np.asarray(lxy, np.float32).reshape(L, 2)
     light_yaw = np.asarray(lyaw, np.float32)
     light_group = np.asarray(lgroup, np.int32)
     light_wp = np.asarray(lwp, np.int32)
+    light_offset = np.asarray(loff, np.float32)
 
     texture, origin = _rasterize_texture(xy, yaw, junc, tex_scale)
     bxy, byaw, bhalf, bh = _generate_buildings(xy, yaw, junc)
@@ -434,7 +452,7 @@ def build_network(
         wp_xy=xy, wp_yaw=yaw, wp_next=nxt, wp_num_next=num_next, wp_prev=prev,
         wp_turn=turn, wp_is_junction=junc, wp_left=left, wp_right=right_arr,
         spawn_wp=spawn_wp, light_xy=light_xy, light_yaw=light_yaw,
-        light_group=light_group, light_wp=light_wp,
+        light_group=light_group, light_wp=light_wp, light_offset=light_offset,
     )
 
     return RoadNetwork(
@@ -452,6 +470,7 @@ def build_network(
         light_yaw=jnp.asarray(light_yaw),
         light_group=jnp.asarray(light_group),
         light_wp=jnp.asarray(light_wp),
+        light_offset=jnp.asarray(light_offset),
         texture=jnp.asarray(texture),
         tex_origin=jnp.asarray(origin, jnp.float32),
         tex_scale=jnp.asarray(tex_scale, jnp.float32),

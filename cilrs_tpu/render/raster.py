@@ -88,6 +88,15 @@ _LAMPS = (
     os.environ.get("CILRS_TPU_LAMPS", "") == "1"
     and os.environ.get("CILRS_TPU_NO_LAMPS", "") != "1"
 )
+# Night-only CONSTANT taillights, default ON (CILRS_TPU_NO_NIGHT_LAMPS=1
+# disables for A/Bs). Unlike the brake-correlated glow above, a constant
+# always-on lamp carries zero correlation with the teacher's braking or
+# steering — it is purely a "vehicle here" visibility cue for the dark
+# preset, where the r4g no-cue model collided twice (runs/benchmark_r4g.json
+# night row). The shortcut mechanism that killed the brake lamps (glow
+# concentrating on junction-queue frames where the teacher holds steer 0)
+# cannot arise: every alive vehicle glows identically on every night frame.
+_NIGHT_LAMPS = os.environ.get("CILRS_TPU_NO_NIGHT_LAMPS", "") != "1"
 
 _LIGHT_COLORS = jnp.array([
     [0.1, 0.95, 0.2],   # green
@@ -390,9 +399,12 @@ def render_frame(
     # proven-best no-lamps render is the default. Set CILRS_TPU_LAMPS=1 to
     # re-enable the tamed cue for ablations.
     brake_glow = jnp.where(vbrake > 0.45, 0.4 + 0.5 * vbrake, 0.0)
-    box_glow = [jnp.maximum(brake_glow, 0.35 * night)]
-    if not _LAMPS:  # default: no lamps (flag definition at top of file)
-        box_glow = [jnp.zeros((V1,), jnp.float32)]
+    veh_glow = jnp.zeros((V1,), jnp.float32)
+    if _LAMPS:  # brake-correlated glow: ablation-only (flag note above)
+        veh_glow = jnp.maximum(veh_glow, brake_glow)
+    if _NIGHT_LAMPS:  # constant night taillight (brake-decorrelated)
+        veh_glow = jnp.maximum(veh_glow, jnp.full((V1,), 0.55) * night)
+    box_glow = [veh_glow]
     if Bg > 0:
         d2b = jnp.sum((net.bldg_xy - world.ego_pos) ** 2, axis=-1)
         _, nearb = jax.lax.top_k(-d2b, KB)  # per-frame cull (small gather)

@@ -19,7 +19,8 @@ def wt():
 
 
 def _run(mini_town, wt, *, nn=(0.0, 0.5, 0.0), speed=20.0, cmd=0, hint=0.0,
-         obs=999.0, tl=LIGHT_NONE, ctrl=None, world=None, time_s=50.0):
+         obs=999.0, tl=LIGHT_NONE, ctrl=None, world=None, time_s=50.0,
+         red_ahead=False):
     if world is None:
         world = make_world(2, 1)
         wp = np.asarray(mini_town.wp_xy)[0]
@@ -34,6 +35,7 @@ def _run(mini_town, wt, *, nn=(0.0, 0.5, 0.0), speed=20.0, cmd=0, hint=0.0,
         jnp.asarray(nn[0]), jnp.asarray(nn[1]), jnp.asarray(nn[2]),
         jnp.asarray(speed), jnp.asarray(cmd, jnp.int32), jnp.asarray(hint),
         jnp.asarray(obs), jnp.asarray(tl, jnp.int32),
+        red_ahead=jnp.asarray(red_ahead),
     )
 
 
@@ -153,3 +155,52 @@ def test_controller_vmappable(mini_town, wt):
     a = np.asarray(control)
     assert a[0, 1] >= 0.8  # slow -> accelerate
     assert a[3, 2] >= 0.89  # way over cap -> brake hard
+
+
+def test_red_queue_holds_escalation(mini_town, wt):
+    """Queued behind a red OUTSIDE the 15 m obey gate (red_ahead): the
+    overtake/reverse trigger and the waiting-for-traffic clock must hold —
+    a lawful queue wait can never escalate into the reverse-teleport fallback
+    (the round-4 Clear-benchmark rescues, runs/benchmark_r4g.json)."""
+    ctrl = init_ctrl_state().replace(
+        obstacle_wait_start=jnp.asarray(30.0, jnp.float32),
+        traffic_wait_start=jnp.asarray(30.0, jnp.float32),
+        waiting_for_traffic=jnp.asarray(True),
+    )
+    # Control arm: 20 s stopped behind an obstacle, no red in sight -> the
+    # machine escalates (leaves OV_NONE toward a lane change or reverse).
+    _, _, _, c_no, _ = _run(mini_town, wt, obs=8.0, speed=1.0, ctrl=ctrl)
+    assert int(c_no.ov_state) != 0
+    # Same state but the queue is light-bound: no escalation, clock released.
+    _, _, _, c_red, _ = _run(mini_town, wt, obs=8.0, speed=1.0, ctrl=ctrl,
+                             red_ahead=True)
+    assert int(c_red.ov_state) == 0
+    assert not bool(c_red.waiting_for_traffic)
+
+
+def test_red_light_ahead_perception(mini_town):
+    """red_light_ahead sees our lane's red up to 40 m out; the 15 m obey gate
+    (check_traffic_light) correctly does NOT."""
+    from cilrs_tpu.agent.perception import check_traffic_light, red_light_ahead
+    from cilrs_tpu.maps.network import light_states
+
+    lxy = np.asarray(mini_town.light_xy)
+    lyaw = np.asarray(mini_town.light_yaw)
+    ls = None
+    for t in np.arange(0.0, 26.0, 1.0):
+        cand = light_states(mini_town, jnp.asarray(t))
+        if int(cand[0]) == LIGHT_RED:
+            ls = cand
+            break
+    assert ls is not None
+    fwd = np.array([np.cos(lyaw[0]), np.sin(lyaw[0])])
+    pos25 = jnp.asarray((lxy[0] - fwd * 25.0).astype(np.float32))
+    yaw0 = jnp.asarray(lyaw[0])
+    assert bool(red_light_ahead(mini_town, ls, pos25, yaw0))
+    assert int(check_traffic_light(mini_town, ls, pos25, yaw0)) != LIGHT_RED
+    # All-green world: nothing ahead is red.
+    assert not bool(red_light_ahead(
+        mini_town, jnp.zeros_like(ls), pos25, yaw0))
+    # 60 m out is beyond the queue-aware window.
+    pos60 = jnp.asarray((lxy[0] - fwd * 60.0).astype(np.float32))
+    assert not bool(red_light_ahead(mini_town, ls, pos60, yaw0))

@@ -45,16 +45,34 @@ def test_texture_sampling(mini_town):
 def test_light_states_cycle(mini_town):
     net = mini_town
     s0 = np.asarray(light_states(net, jnp.asarray(0.0)))
-    s15 = np.asarray(light_states(net, jnp.asarray(15.0)))
     assert set(np.unique(s0)).issubset({LIGHT_GREEN, LIGHT_YELLOW, LIGHT_RED})
     groups = np.asarray(net.light_group)
-    if (groups == 0).any() and (groups == 1).any():
-        # At t=0 group 0 is green, group 1 is red.
-        assert (s0[groups == 0] == LIGHT_GREEN).all()
-        assert (s0[groups == 1] == LIGHT_RED).all()
-        # Second phase (t=15): groups flip.
-        assert (s15[groups == 1] == LIGHT_GREEN).all()
-        assert (s15[groups == 0] == LIGHT_RED).all()
+    offs = np.asarray(net.light_offset)
+    # Junction controllers are mutually unsynchronized (golden-ratio phase
+    # stagger) like CARLA's — a town-global clock resonates travel times with
+    # the cycle (the fog 14-red-stop timeout).
+    assert len(np.unique(offs.round(3))) > 1
+    # The offset-0 junction keeps the legacy schedule: group 0 green at t=0,
+    # flipped at t=15.
+    j0 = offs == 0.0
+    s15 = np.asarray(light_states(net, jnp.asarray(15.0)))
+    if (j0 & (groups == 0)).any() and (j0 & (groups == 1)).any():
+        assert (s0[j0 & (groups == 0)] == LIGHT_GREEN).all()
+        assert (s0[j0 & (groups == 1)] == LIGHT_RED).all()
+        assert (s15[j0 & (groups == 1)] == LIGHT_GREEN).all()
+        assert (s15[j0 & (groups == 0)] == LIGHT_RED).all()
+    # Safety invariant per junction at ANY time: crossing groups are never
+    # green (or green/yellow) together.
+    for t in (0.0, 4.0, 9.0, 13.0, 18.0, 25.0):
+        st = np.asarray(light_states(net, jnp.asarray(t)))
+        for off in np.unique(offs):
+            m = offs == off
+            g0 = st[m & (groups == 0)]
+            g1 = st[m & (groups == 1)]
+            if len(g0) and len(g1):
+                go0 = np.isin(g0, (LIGHT_GREEN, LIGHT_YELLOW)).any()
+                go1 = np.isin(g1, (LIGHT_GREEN, LIGHT_YELLOW)).any()
+                assert not (go0 and go1), (t, off, g0, g1)
 
 
 def test_trace_route_and_follow(mini_town):
