@@ -143,7 +143,12 @@ def env_observe(
     tl_state, tl_idx = perception.check_traffic_light(
         net, lights, ego_pos, ego_yaw, return_index=True
     )
-    red_ahead = perception.red_light_ahead(net, lights, ego_pos, ego_yaw)
+    # CILRS_TPU_NO_REDHOLD=1: disable the queue-aware escalation hold (A/B arm).
+    import os as _os
+    if _os.environ.get("CILRS_TPU_NO_REDHOLD") == "1":
+        red_ahead = jnp.asarray(False)
+    else:
+        red_ahead = perception.red_light_ahead(net, lights, ego_pos, ego_yaw)
     on_road = ~perception.ego_off_road(net, ego_pos)
 
     frame = render_frame(net, world, lights, cam) if want_frame \

@@ -427,10 +427,14 @@ def build_network(
     lxy, lyaw, lgroup, lwp, loff = [], [], [], [], []
     if with_lights:
         n_junctions = 0
+        import os
+        global_clock = os.environ.get("CILRS_TPU_GLOBAL_LIGHTS") == "1"
         for nidx in range(len(nodes)):
             if degree[nidx] < 3:
                 continue
-            j_offset = (n_junctions * 0.618033988749895) % 1.0 * LIGHT_CYCLE_S
+            # CILRS_TPU_GLOBAL_LIGHTS=1: legacy town-global clock (A/B arm).
+            j_offset = (0.0 if global_clock
+                        else (n_junctions * 0.618033988749895) % 1.0 * LIGHT_CYCLE_S)
             n_junctions += 1
             for (fi, li, hi, ei, ki) in incoming.get(nidx, []):
                 lxy.append(wp_xy[li])

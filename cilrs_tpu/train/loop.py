@@ -454,9 +454,13 @@ def train(
                 # whole val split's frames (1.4 GB+) in one gather — both an
                 # HBM-peak bound and part of the big-table hygiene (no huge
                 # single gather calls; see ops/gather.gather_rows_paged).
+                # CILRS_TPU_EVAL_ONESHOT=1 restores the round-3 single-
+                # dispatch eval (A/B arm for the eval-interleaving suspect).
                 vi = np.stack(val_iter)
-                for s in range(0, len(vi), 50):
-                    losses, errs, cnts = eval_steps(st, jnp.asarray(vi[s:s + 50]))
+                step = len(vi) if os.environ.get(
+                    "CILRS_TPU_EVAL_ONESHOT") == "1" else 50
+                for s in range(0, len(vi), step):
+                    losses, errs, cnts = eval_steps(st, jnp.asarray(vi[s:s + step]))
                     val_losses += [float(l) for l in np.asarray(losses)]
                     err_sum += np.asarray(errs).sum(axis=0)
                     cnt += np.asarray(cnts).sum(axis=0)
