@@ -88,15 +88,21 @@ _LAMPS = (
     os.environ.get("CILRS_TPU_LAMPS", "") == "1"
     and os.environ.get("CILRS_TPU_NO_LAMPS", "") != "1"
 )
-# Night-only CONSTANT taillights, default ON (CILRS_TPU_NO_NIGHT_LAMPS=1
-# disables for A/Bs). Unlike the brake-correlated glow above, a constant
-# always-on lamp carries zero correlation with the teacher's braking or
-# steering — it is purely a "vehicle here" visibility cue for the dark
-# preset, where the r4g no-cue model collided twice (runs/benchmark_r4g.json
-# night row). The shortcut mechanism that killed the brake lamps (glow
-# concentrating on junction-queue frames where the teacher holds steer 0)
-# cannot arise: every alive vehicle glows identically on every night frame.
-_NIGHT_LAMPS = os.environ.get("CILRS_TPU_NO_NIGHT_LAMPS", "") != "1"
+# Night-only CONSTANT taillights, default OFF (CILRS_TPU_NIGHT_LAMPS=1
+# opts in for ablations). The cue looked safe by construction — a constant
+# always-on lamp carries zero correlation with the teacher's braking — but
+# two round-5 A/B pairs measured it harmful anyway: with trajectories/labels
+# BIT-IDENTICAL and only the lamp pixels differing, turn-steer MAE rose
+# 1.26x (runs r5a vs arm4) and 1.5x (arm3 vs arm2). The damage is not a
+# red-color shortcut (pasting taillight-red blobs into arc frames shifts the
+# trained model's steer by only 0.007 — /tmp-probe, RESULTS_training.md
+# round 5); at night a visible vehicle IS mostly a queue/follow context, so
+# any vehicle-visibility cue concentrates on low-steer frames and drags turn
+# predictions down. Honored alongside the legacy CILRS_TPU_NO_NIGHT_LAMPS=1.
+_NIGHT_LAMPS = (
+    os.environ.get("CILRS_TPU_NIGHT_LAMPS", "") == "1"
+    and os.environ.get("CILRS_TPU_NO_NIGHT_LAMPS", "") != "1"
+)
 
 _LIGHT_COLORS = jnp.array([
     [0.1, 0.95, 0.2],   # green
@@ -168,6 +174,45 @@ def _ground_masks(net: RoadNetwork, ego_pos: jnp.ndarray, gxy: jnp.ndarray):
     )
     marking = jnp.any(on_marking, axis=-1).astype(jnp.float32) * road
     return road, marking, sidewalk
+
+
+def _junction_markings(net: RoadNetwork, ego_pos: jnp.ndarray,
+                       gxy: jnp.ndarray) -> jnp.ndarray:
+    """Stop-line bars + zebra crosswalks at signalized junction approaches.
+
+    CARLA junctions carry stop lines and crosswalk paint; this renderer's
+    junction interiors were bare asphalt, which starves the policy of the
+    position-along-the-arc anchor it needs mid-turn once light COLORS stop
+    being a reliable phase cue (junction-local light offsets — the round-5
+    staggered-clock A/Bs measured LEFT/RIGHT steer MAE 2x worse without any
+    light-independent junction landmark). World-anchored paint at every
+    stop line is visible throughout the arc (entry bar behind, exit bar
+    ahead, cross bars to the sides) and depends on nothing but geometry.
+
+    One [N, K] pass over the K nearest lights — same shape of work as the
+    ground-segment classification. Returns a [N] paint mask in [0, 1].
+    """
+    L = net.num_lights
+    if L == 0:
+        return jnp.zeros(gxy.shape[:-1], jnp.float32)
+    K = min(NUM_NEAR_LIGHTS, L)
+    d2l = jnp.sum((net.light_xy - ego_pos) ** 2, axis=-1)
+    _, near = jax.lax.top_k(-d2l, K)
+    lxy = net.light_xy[near]  # [K,2]
+    lyaw = net.light_yaw[near]
+    fwd = jnp.stack([jnp.cos(lyaw), jnp.sin(lyaw)], axis=-1)  # [K,2]
+    bf = jnp.bfloat16
+    rel_x = (gxy[..., 0:1] - lxy[:, 0]).astype(bf)  # [N,K]
+    rel_y = (gxy[..., 1:2] - lxy[:, 1]).astype(bf)
+    lon = rel_x * fwd[:, 0].astype(bf) + rel_y * fwd[:, 1].astype(bf)
+    lat = rel_y * fwd[:, 0].astype(bf) - rel_x * fwd[:, 1].astype(bf)
+    in_lane = jnp.abs(lat) <= bf(2.2)
+    # Solid stop bar just before the line.
+    bar = (lon >= bf(-0.6)) & (lon <= bf(0.0)) & in_lane
+    # Zebra crosswalk past the line: stripes banded along the lane direction.
+    zebra_band = jnp.mod(lat, bf(1.2)) < bf(0.6)
+    walk = (lon >= bf(0.6)) & (lon <= bf(2.2)) & (jnp.abs(lat) <= bf(2.6)) & zebra_band
+    return jnp.any(bar | walk, axis=-1).astype(jnp.float32)
 
 
 def _motion_stretch(pxy: jnp.ndarray, yaw: jnp.ndarray,
@@ -348,6 +393,8 @@ def render_frame(
     amp = (0.035 * road + 0.05 * (1.0 - road)) * amp_v  # visible on dark asphalt
     g = jnp.clip(g + (amp * tex)[:, None], 0.0, 1.0)
     g = g * (1 - marking[:, None]) + _MARKING * marking[:, None]
+    jm = _junction_markings(net, world.ego_pos, gxy) * road
+    g = g * (1 - jm[:, None]) + _MARKING * jm[:, None]
     ground_color = g
 
     # --- vehicles (all except ego) ---

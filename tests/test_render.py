@@ -125,13 +125,13 @@ def test_render_brake_lights_off_by_default(mini_town):
         jax.clear_caches()
 
 
-def test_render_night_taillights_constant(mini_town):
-    """Night preset renders CONSTANT always-on taillights on NPC vehicles —
-    a visibility cue fully decorrelated from braking (the r4g night runs
-    collided twice with unlit vehicles; the brake-correlated lamp variant is
-    a measured steering shortcut and stays off). Same frame must therefore
-    show identical lamp pixels whether the lead vehicle brakes or coasts,
-    and a CILRS_TPU_NO_NIGHT_LAMPS ablation removes the cue."""
+def test_render_night_taillights_opt_in(mini_town):
+    """Night taillights are OFF by default: even a constant, brake-
+    decorrelated lamp measurably degrades turn steering (round-5 A/B pairs
+    r5a-vs-arm4 and arm3-vs-arm2 on bit-identical trajectories: 1.26x/1.5x
+    LEFT steer MAE — a visible vehicle at night is mostly queue/follow
+    context, so the cue concentrates on low-steer frames). The opt-in
+    variant must still render constant, brake-decorrelated lamps."""
     import cilrs_tpu.render.raster as raster
 
     world, xy, yaw = _world_on_road(mini_town, weather_idx=3)  # night
@@ -146,31 +146,22 @@ def test_render_night_taillights_constant(mini_town):
         r, g, b = img[..., 0], img[..., 1], img[..., 2]
         return int(((r > 0.4) & (r > g * 2.5) & (r > b * 2.5)).sum())
 
-    assert raster._NIGHT_LAMPS  # default ON
+    assert not raster._NIGHT_LAMPS  # default OFF (measured turn regression)
     braking = world.replace(veh_control=world.veh_control.at[1, 2].set(0.8))
     n_coast = red_px(np.asarray(render_frame(mini_town, world, ls)))
     n_brake = red_px(np.asarray(render_frame(mini_town, braking, ls)))
-    assert n_coast >= 6, f"night taillights not visible ({n_coast} px)"
-    assert n_brake == n_coast, (n_brake, n_coast)  # brake-decorrelated
+    assert n_coast <= 2 and n_brake <= 2, (n_coast, n_brake)
 
-    # Day frames carry no taillights (the night term gates on the preset).
-    day, _, _ = _world_on_road(mini_town, weather_idx=0)
-    day = day.replace(
-        veh_pos=day.veh_pos.at[1].set(jnp.asarray(xy + fwd * 10.0, jnp.float32)),
-        ped_alive=day.ped_alive.at[:].set(False),
-    )
-    n_day = red_px(np.asarray(render_frame(mini_town, day, light_states(
-        mini_town, day.time_s))))
-    assert n_day <= 2, n_day
-
-    # Ablation flag removes the cue.
+    # Opt-in: lamps visible, constant, brake-decorrelated.
     try:
-        raster._NIGHT_LAMPS = False
-        jax.clear_caches()
-        n_off = red_px(np.asarray(render_frame(mini_town, world, ls)))
-        assert n_off <= 2, n_off
-    finally:
         raster._NIGHT_LAMPS = True
+        jax.clear_caches()
+        n_on_coast = red_px(np.asarray(render_frame(mini_town, world, ls)))
+        n_on_brake = red_px(np.asarray(render_frame(mini_town, braking, ls)))
+        assert n_on_coast >= 6, n_on_coast
+        assert n_on_brake == n_on_coast, (n_on_brake, n_on_coast)
+    finally:
+        raster._NIGHT_LAMPS = False
         jax.clear_caches()
 
 
