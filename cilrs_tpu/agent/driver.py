@@ -143,9 +143,14 @@ def env_observe(
     tl_state, tl_idx = perception.check_traffic_light(
         net, lights, ego_pos, ego_yaw, return_index=True
     )
-    # CILRS_TPU_NO_REDHOLD=1: disable the queue-aware escalation hold (A/B arm).
+    # Queue-aware escalation hold (perception.red_light_ahead) is DEPLOY-only:
+    # in collect mode the teacher keeps the round-4 escalation semantics, so
+    # the training-data distribution stays on the proven-healthy recipe (the
+    # round-5 arms measured every sim-behavior delta against it); the hold is
+    # a closed-loop safety-layer property (no rescue teleports against lawful
+    # red-light queues). CILRS_TPU_NO_REDHOLD=1 disables it (A/B arm).
     import os as _os
-    if _os.environ.get("CILRS_TPU_NO_REDHOLD") == "1":
+    if mode != "drive" or _os.environ.get("CILRS_TPU_NO_REDHOLD") == "1":
         red_ahead = jnp.asarray(False)
     else:
         red_ahead = perception.red_light_ahead(net, lights, ego_pos, ego_yaw)

@@ -34,7 +34,10 @@ MAX_NEXT = 3
 TURN_FOLLOW, TURN_LEFT, TURN_RIGHT, TURN_STRAIGHT = 0, 1, 2, 3
 
 # Traffic-light cycle (seconds): green then yellow per phase group, two groups.
-LIGHT_GREEN_S = 10.0
+# 13 s green = 50% duty per group (standard two-phase signalization; the old
+# 10 s/26 s cycle gave 38% and made ~12 s inter-junction legs land just past
+# their own green — the fog benchmark's every-junction red wave).
+LIGHT_GREEN_S = 13.0
 LIGHT_YELLOW_S = 3.0
 LIGHT_PHASE_S = LIGHT_GREEN_S + LIGHT_YELLOW_S
 LIGHT_CYCLE_S = 2.0 * LIGHT_PHASE_S
@@ -428,13 +431,22 @@ def build_network(
     if with_lights:
         n_junctions = 0
         import os
-        global_clock = os.environ.get("CILRS_TPU_GLOBAL_LIGHTS") == "1"
+        # Default: one town-global clock. Junction-LOCAL offsets
+        # (CILRS_TPU_STAGGER_LIGHTS=1) are more CARLA-faithful, but the
+        # round-5 A/B chain measured them 2x worse on turn-steer MAE with
+        # label distributions identical — the synchronized phase doubles as
+        # a visual timing feature the current model family leans on
+        # (RESULTS_training.md round 5). Offsets stay a supported mode for
+        # future model work; the shipped flagship trains and drives on the
+        # global clock. (CILRS_TPU_GLOBAL_LIGHTS=1 is honored as a no-op for
+        # the round-5 arm scripts.)
+        stagger = os.environ.get("CILRS_TPU_STAGGER_LIGHTS") == "1" and \
+            os.environ.get("CILRS_TPU_GLOBAL_LIGHTS") != "1"
         for nidx in range(len(nodes)):
             if degree[nidx] < 3:
                 continue
-            # CILRS_TPU_GLOBAL_LIGHTS=1: legacy town-global clock (A/B arm).
-            j_offset = (0.0 if global_clock
-                        else (n_junctions * 0.618033988749895) % 1.0 * LIGHT_CYCLE_S)
+            j_offset = ((n_junctions * 0.618033988749895) % 1.0 * LIGHT_CYCLE_S
+                        if stagger else 0.0)
             n_junctions += 1
             for (fi, li, hi, ei, ki) in incoming.get(nidx, []):
                 lxy.append(wp_xy[li])

@@ -103,6 +103,9 @@ _NIGHT_LAMPS = (
     os.environ.get("CILRS_TPU_NIGHT_LAMPS", "") == "1"
     and os.environ.get("CILRS_TPU_NO_NIGHT_LAMPS", "") != "1"
 )
+# Junction stop-bar/crosswalk paint: opt-in (measured harmful to turn
+# steering — see _junction_markings).
+_CROSSWALKS = os.environ.get("CILRS_TPU_CROSSWALKS", "") == "1"
 
 _LIGHT_COLORS = jnp.array([
     [0.1, 0.95, 0.2],   # green
@@ -188,6 +191,11 @@ def _junction_markings(net: RoadNetwork, ego_pos: jnp.ndarray,
     light-independent junction landmark). World-anchored paint at every
     stop line is visible throughout the arc (entry bar behind, exit bar
     ahead, cross bars to the sides) and depends on nothing but geometry.
+
+    MEASURED RESULT (round-5 arm5 vs arm4, only delta = this paint, 150k/6
+    epochs): turn-steer MAE got WORSE (LEFT 0.069 vs 0.054) — the paint
+    reads as lane-marking-like clutter near arcs rather than as an anchor.
+    Default OFF (CILRS_TPU_CROSSWALKS=1 re-enables for future model work).
 
     One [N, K] pass over the K nearest lights — same shape of work as the
     ground-segment classification. Returns a [N] paint mask in [0, 1].
@@ -393,8 +401,9 @@ def render_frame(
     amp = (0.035 * road + 0.05 * (1.0 - road)) * amp_v  # visible on dark asphalt
     g = jnp.clip(g + (amp * tex)[:, None], 0.0, 1.0)
     g = g * (1 - marking[:, None]) + _MARKING * marking[:, None]
-    jm = _junction_markings(net, world.ego_pos, gxy) * road
-    g = g * (1 - jm[:, None]) + _MARKING * jm[:, None]
+    if _CROSSWALKS:  # measured-off default; see _junction_markings docstring
+        jm = _junction_markings(net, world.ego_pos, gxy) * road
+        g = g * (1 - jm[:, None]) + _MARKING * jm[:, None]
     ground_color = g
 
     # --- vehicles (all except ego) ---

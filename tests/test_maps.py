@@ -48,27 +48,45 @@ def test_light_states_cycle(mini_town):
     assert set(np.unique(s0)).issubset({LIGHT_GREEN, LIGHT_YELLOW, LIGHT_RED})
     groups = np.asarray(net.light_group)
     offs = np.asarray(net.light_offset)
-    # Junction controllers are mutually unsynchronized (golden-ratio phase
-    # stagger) like CARLA's — a town-global clock resonates travel times with
-    # the cycle (the fog 14-red-stop timeout).
-    assert len(np.unique(offs.round(3))) > 1
-    # The offset-0 junction keeps the legacy schedule: group 0 green at t=0,
-    # flipped at t=15.
+    # Default: one town-global clock (all offsets zero) — the round-5 A/Bs
+    # measured junction-local stagger 2x worse on turn-steer learning
+    # (RESULTS_training.md round 5); staggered mode stays opt-in below.
+    assert (offs == 0.0).all()
+    # The offset-0 junctions keep the canonical schedule: group 0 green at
+    # t=0, group 1 green one phase later.
+    from cilrs_tpu.maps.network import LIGHT_PHASE_S, LIGHT_CYCLE_S
+
     j0 = offs == 0.0
-    s15 = np.asarray(light_states(net, jnp.asarray(15.0)))
+    t2 = LIGHT_PHASE_S + 1.0
+    s2 = np.asarray(light_states(net, jnp.asarray(t2)))
     if (j0 & (groups == 0)).any() and (j0 & (groups == 1)).any():
         assert (s0[j0 & (groups == 0)] == LIGHT_GREEN).all()
         assert (s0[j0 & (groups == 1)] == LIGHT_RED).all()
-        assert (s15[j0 & (groups == 1)] == LIGHT_GREEN).all()
-        assert (s15[j0 & (groups == 0)] == LIGHT_RED).all()
+        assert (s2[j0 & (groups == 1)] == LIGHT_GREEN).all()
+        assert (s2[j0 & (groups == 0)] == LIGHT_RED).all()
     # Safety invariant per junction at ANY time: crossing groups are never
     # green (or green/yellow) together.
-    for t in (0.0, 4.0, 9.0, 13.0, 18.0, 25.0):
-        st = np.asarray(light_states(net, jnp.asarray(t)))
-        for off in np.unique(offs):
-            m = offs == off
-            g0 = st[m & (groups == 0)]
-            g1 = st[m & (groups == 1)]
+    # Opt-in junction-local stagger (CARLA-faithful mode): offsets differ
+    # across junctions, and the per-junction safety invariant holds at any
+    # time — crossing groups are never green (or green/yellow) together.
+    import os
+
+    from cilrs_tpu.maps.town import make_mini_town
+
+    os.environ["CILRS_TPU_STAGGER_LIGHTS"] = "1"
+    try:
+        net_s = make_mini_town()
+    finally:
+        del os.environ["CILRS_TPU_STAGGER_LIGHTS"]
+    offs_s = np.asarray(net_s.light_offset)
+    groups_s = np.asarray(net_s.light_group)
+    assert len(np.unique(offs_s.round(3))) > 1
+    for t in np.linspace(0.0, LIGHT_CYCLE_S - 0.5, 7):
+        st = np.asarray(light_states(net_s, jnp.asarray(t)))
+        for off in np.unique(offs_s):
+            m = offs_s == off
+            g0 = st[m & (groups_s == 0)]
+            g1 = st[m & (groups_s == 1)]
             if len(g0) and len(g1):
                 go0 = np.isin(g0, (LIGHT_GREEN, LIGHT_YELLOW)).any()
                 go1 = np.isin(g1, (LIGHT_GREEN, LIGHT_YELLOW)).any()
