@@ -34,10 +34,15 @@ MAX_NEXT = 3
 TURN_FOLLOW, TURN_LEFT, TURN_RIGHT, TURN_STRAIGHT = 0, 1, 2, 3
 
 # Traffic-light cycle (seconds): green then yellow per phase group, two groups.
-# 13 s green = 50% duty per group (standard two-phase signalization; the old
-# 10 s/26 s cycle gave 38% and made ~12 s inter-junction legs land just past
-# their own green — the fog benchmark's every-junction red wave).
-LIGHT_GREEN_S = 13.0
+# 10 s green (38% duty) is LOAD-BEARING for training quality, not an
+# arbitrary constant: extending it to 13 s (runs r5c/r5d) collapsed
+# turn-steer learning 8x with everything else held fixed — more green means
+# more flying, varied-speed corner entries, and the teacher's corrective
+# steer on wide entries depends on pose at a precision the 88x200 camera
+# cannot resolve (autopilot.py's wide-entry note, measured at scale). The
+# short green force-slows junction approaches into stereotyped, learnable
+# entries. See RESULTS_training.md round 5.
+LIGHT_GREEN_S = 10.0
 LIGHT_YELLOW_S = 3.0
 LIGHT_PHASE_S = LIGHT_GREEN_S + LIGHT_YELLOW_S
 LIGHT_CYCLE_S = 2.0 * LIGHT_PHASE_S
