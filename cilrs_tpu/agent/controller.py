@@ -291,7 +291,12 @@ def safety_controller(
         T_NONE,
     )
     stopped_duration = jnp.where(new_stopped_start > T_NONE / 2, now - new_stopped_start, 0.0)
-    unstick = (stopped_duration > 3.0) & ~light_gate & ~overtake_active & ~in_hard
+    # ~red_ahead: red_ahead clears waiting_for_traffic (entering_wait below),
+    # so without this gate the stopped clock runs while queued behind a red
+    # and unstick could throttle into the stationary queue when the gap sits
+    # in the 8-16 m slow band >3 s (round-4 advisor). Deploy-only by
+    # construction: collect mode passes red_ahead=False (driver.env_observe).
+    unstick = (stopped_duration > 3.0) & ~light_gate & ~overtake_active & ~in_hard & ~red_ahead
     unstick_throttle = jnp.where(stopped_duration > 6.0, 0.85, 0.7)
     unstick_steer = jnp.where(hint_mag > 0.05, jnp.clip(hint * 0.5, -0.5, 0.5), steer_normal)
 

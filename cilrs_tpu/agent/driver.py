@@ -149,6 +149,12 @@ def env_observe(
     # round-5 arms measured every sim-behavior delta against it); the hold is
     # a closed-loop safety-layer property (no rescue teleports against lawful
     # red-light queues). CILRS_TPU_NO_REDHOLD=1 disables it (A/B arm).
+    # The HARD_STUCK_S=75 movement backstop (env_act) is INTENTIONALLY active
+    # in collect mode too: a teacher parked >75 s is a gridlock, not data —
+    # it contributes no frames (stationary-skip) while blocking its env's
+    # route progress, and every proven-healthy collection (r4b..r5e) was
+    # collected with the backstop in place, so removing it — not keeping it —
+    # would be the distribution change (round-4 advisor, documented choice).
     import os as _os
     if mode != "drive" or _os.environ.get("CILRS_TPU_NO_REDHOLD") == "1":
         red_ahead = jnp.asarray(False)

@@ -77,7 +77,11 @@ def red_light_ahead(
     max_dist: float = RED_AHEAD_DIST,
     cfg: TrafficLightConfig = TrafficLightConfig(),
 ) -> jnp.ndarray:
-    """True if OUR lane's next light within max_dist ahead is red/yellow-held.
+    """True if OUR lane's next light within max_dist ahead is RED.
+
+    Red only, deliberately: during the blocking light's 3 s yellow the hold
+    drops and the wait clocks restart — benign for the 4 s escalation
+    trigger, and simpler than latching through yellow.
 
     The 15 m obey gate (check_traffic_light) answers "must I stop"; this
     answers "is the queue I'm in light-bound". A vehicle queued 20-40 m

@@ -255,7 +255,13 @@ def collect_resident(
         if local >= page_rows and len(done_pages) < num_pages - 1:
             # Page full: the (< M) overshoot rows past page_rows are dropped
             # and collection rolls into a fresh page (same shapes — the
-            # compiled chunk program is reused as-is).
+            # compiled chunk program is reused as-is). NOTE the drop breaks
+            # the same-seed "smaller collection is a bit-identical row-prefix
+            # of a larger one" oracle at each boundary (tools/exp_checksum.py)
+            # and slightly overstates keep_fraction/frames_per_sec.
+            if verbose:
+                print(f"  page {len(done_pages)} full: rolled over, "
+                      f"{local - page_rows} overshoot frames dropped", flush=True)
             done_pages.append((table, aux))
             table, aux = _new_page()
             cursor = jnp.asarray(0, jnp.int32)

@@ -84,6 +84,11 @@ _TAILLIGHT = jnp.array([0.95, 0.07, 0.05], jnp.float32)
 # comment at the glow computation below). CILRS_TPU_NO_LAMPS=1 is honored for
 # backward compatibility with round-3 run scripts (it forces lamps off, which
 # is already the default).
+# NOTE (round-4 semantics change): CILRS_TPU_LAMPS=1 is now brake-glow ONLY.
+# The pre-round-4 path rendered max(brake_glow, 0.35*night) — the ambient
+# night glow moved to _NIGHT_LAMPS below at a different intensity (0.55), so
+# round-3 lamp-ablation arms are NOT reproducible under this flag alone; set
+# both flags (still not the old 0.35 weight) or check out the round-3 tree.
 _LAMPS = (
     os.environ.get("CILRS_TPU_LAMPS", "") == "1"
     and os.environ.get("CILRS_TPU_NO_LAMPS", "") != "1"

@@ -17,6 +17,13 @@ So per-row image checksums must match too. This tool:
 
 If both pass, the table is bit-faithful at 200k and the 200k training
 collapse is NOT a data-corruption bug.
+
+CAVEAT (paged tables): the prefix oracle only holds within one page. A PAGED
+collection (data/resident.py) drops up to M-1 overshoot frames at each page
+rollover, so past the first page boundary a paged collection is the
+monolithic one with small row-gaps at multiples of page_rows — compare
+monolithic-vs-monolithic (CILRS_TPU_ALLOW_BIG_TABLE=1) or restrict the
+bitwise comparison to rows < page_rows.
 """
 
 from __future__ import annotations
