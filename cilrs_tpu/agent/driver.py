@@ -184,9 +184,18 @@ def env_act(
     params: VehicleParams,
     mode: str = "drive",
     loop_routes: bool = True,
+    hold_until_s: float = 0.0,
 ):
     """Per-env action phase: controller cascade / autopilot, machines, physics,
-    events, metrics. Consumes the observation dict from env_observe."""
+    events, metrics. Consumes the observation dict from env_observe.
+
+    hold_until_s > 0 parks the ego (full brake) until that sim time — the
+    benchmark's departure-phase sweep (cli/drive.py --depart-delay): shifting
+    the start phase vs the town-global light clock probes red-wave resonance
+    without touching the teacher or the world. Keep holds < 15 s (the
+    stuck-still window) so the rescue machinery never sees the hold. Static
+    python default 0.0 compiles to the unchanged program.
+    """
     world = state.world
     now = world.time_s
     route = pool.get(state.route_id)
@@ -205,6 +214,11 @@ def env_act(
             speed_kmh, cmd, hint, obs_dist, tl_state,
             red_ahead=obs["red_ahead"],
         )
+        if hold_until_s > 0.0:
+            holding = now < hold_until_s
+            control = jnp.where(holding,
+                                jnp.array([0.0, 0.0, 0.8], jnp.float32), control)
+            reverse = jnp.where(holding, False, reverse)
     else:
         a_steer, a_thr, a_brk = autopilot_controls(
             route, route_idx, ego_pos, ego_yaw, speed_kmh, obs_dist, tl_state
@@ -299,6 +313,17 @@ def env_act(
     teleport = (
         escalate | stuck | (off_streak > OFF_ROAD_STREAK_MAX) | events["teleport_request"]
     )
+    # Cause snapshot BEFORE the teleport-state resets below clear off_streak
+    # (0 none / 1 collision-escalate / 2 still / 3 wait / 4 hard-stuck /
+    # 5 off-road / 6 reverse-fallback; first-true wins).
+    tp_cause = jnp.where(
+        teleport,
+        jnp.argmax(jnp.stack([
+            escalate, stuck_still, waiting_long, hard_stuck,
+            off_streak > OFF_ROAD_STREAK_MAX, events["teleport_request"],
+        ])) + 1,
+        0,
+    ).astype(jnp.int32)
     # Candidate landing spots ahead on the route, first one clear of actors
     # (the reference scores teleport candidates by clearance, :1348-1428).
     cand_idx = jnp.minimum(route_idx + jnp.array([5, 10, 15, 20]), route.length - 1)
@@ -434,6 +459,11 @@ def env_act(
         "yaw": world2.veh_yaw[0],
         "route_idx": route_idx2,
         "completed": completed,
+        # Teleport cause telemetry: rescue teleports are invisible to the
+        # reference scoring formula, so closed-loop diagnosis needs the
+        # trigger, not just the count (cli/drive.py --events-json).
+        "tp_cause": tp_cause,
+        "recovered": start_rec,
     }
     outputs = {k: v for k, v in outputs.items() if v is not None}
     return new_state, outputs
@@ -450,6 +480,7 @@ def env_step(
     cam: CameraSpec = CAMERA,
     want_frame: bool = True,
     loop_routes: bool = True,
+    hold_until_s: float = 0.0,
 ):
     """One 20 Hz tick for ONE env (observe -> policy -> act).
 
@@ -465,7 +496,8 @@ def env_step(
     else:
         nn = None
     return env_act(state, obs, nn, net, pool, wt, params,
-                   mode=mode, loop_routes=loop_routes)
+                   mode=mode, loop_routes=loop_routes,
+                   hold_until_s=hold_until_s)
 
 
 def fleet_rollout(
@@ -534,6 +566,7 @@ def rollout(
     cam: CameraSpec = CAMERA,
     want_frames: bool = False,
     loop_routes: bool = True,
+    hold_until_s: float = 0.0,
 ):
     """`lax.scan` the step for `steps` ticks. Returns (final state, stacked outputs)."""
 
@@ -541,6 +574,7 @@ def rollout(
         s2, outs = env_step(
             carry, net, pool, wt, params, policy_fn,
             mode=mode, cam=cam, want_frame=want_frames, loop_routes=loop_routes,
+            hold_until_s=hold_until_s,
         )
         if not want_frames:
             outs = {k: v for k, v in outs.items() if k != "frame"}

@@ -51,7 +51,12 @@ def main(argv=None):
     p.add_argument("--json-out", default=None)
     p.add_argument("--autopilot", action="store_true")
     p.add_argument("--weathers", nargs="*", default=list(WEATHER_NAMES))
+    p.add_argument("--events-dir", default=None,
+                   help="write per-weather rescue/collision event JSONs here")
     args = p.parse_args(argv)
+    if args.events_dir:
+        import os
+        os.makedirs(args.events_dir, exist_ok=True)
 
     results = {}
     for weather in args.weathers:
@@ -68,6 +73,9 @@ def main(argv=None):
             drive_args.append("--autopilot")
         elif args.checkpoint:
             drive_args += ["--checkpoint", args.checkpoint]
+        if args.events_dir:
+            drive_args += ["--events-json",
+                           f"{args.events_dir}/events_{weather}.json"]
         results[weather] = drive_cli.main(drive_args)
 
     md = _format_markdown(results, args)

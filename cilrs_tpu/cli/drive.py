@@ -54,6 +54,14 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save-video", default=None, help="write HUD frames to mp4")
     p.add_argument("--report-json", default=None)
+    p.add_argument("--events-json", default=None,
+                   help="write tick-accurate rescue/collision events "
+                        "(teleport cause, position, context) for diagnosis")
+    p.add_argument("--depart-delay", type=float, default=0.0,
+                   help="park the ego (full brake) for this many sim seconds "
+                        "before departing — the departure-phase sweep for "
+                        "red-wave resonance probes (keep < 15 s; the cap is "
+                        "extended by the delay so moving time is unchanged)")
     p.add_argument("--autopilot", action="store_true",
                    help="drive with the rule-based teacher instead of the model")
     p.add_argument("--view", default="front", choices=["front", "chase"],
@@ -113,7 +121,8 @@ def main(argv=None):
             policy_fn = None
         return rollout(st, steps=CHUNK_TICKS, net=net_, pool=pool_, wt=wt,
                        params=params, policy_fn=policy_fn, mode=mode,
-                       want_frames=True, loop_routes=loop_routes)
+                       want_frames=True, loop_routes=loop_routes,
+                       hold_until_s=float(args.depart_delay))
 
     pool_end_xy = np.asarray(pool.xy[:, -1])  # host copy for HUD distance
 
@@ -140,14 +149,52 @@ def main(argv=None):
         )
 
     print(f"Driving for {args.duration:.0f} s sim time, weather={args.weather} ...")
-    total_ticks = int(args.duration / DT)
+    if args.depart_delay > 0.0:
+        print(f"  departure-phase hold: {args.depart_delay:.0f} s "
+              f"(cap extended to {args.duration + args.depart_delay:.0f} s)")
+    total_ticks = int((args.duration + args.depart_delay) / DT)
     done_ticks = 0
     t_wall = time.time()
     running = True
+    TP_CAUSES = {1: "collision-escalate", 2: "stuck-still", 3: "traffic-wait",
+                 4: "hard-stuck", 5: "off-road", 6: "reverse-fallback"}
+    events = [] if args.events_json else None
+    prev_collisions = 0.0
     while done_ticks < total_ticks and running:
         state, outs = roll(state, net, pool, variables)
         done_ticks += CHUNK_TICKS
         scores = compute_scores(state.metrics, scoring)
+        if events is not None:
+            tpc = np.asarray(outs["tp_cause"])
+            rec = np.asarray(outs["recovered"])
+            pos = np.asarray(outs["pos"])
+            base_t = (done_ticks - CHUNK_TICKS) * DT
+
+            def _ctx(k):
+                return {
+                    "t_s": round(base_t + float(k) * DT, 2),
+                    "pos_before": [round(float(pos[max(k - 1, 0), 0]), 1),
+                                   round(float(pos[max(k - 1, 0), 1]), 1)],
+                    "pos_after": [round(float(pos[k, 0]), 1),
+                                  round(float(pos[k, 1]), 1)],
+                    "speed_kmh": round(float(outs["speed_kmh"][k]), 1),
+                    "obstacle_dist": round(float(outs["obstacle_dist"][k]), 1),
+                    "tl_state": int(outs["tl_state"][k]),
+                    "command": int(outs["command"][k]),
+                    "status": STATUS_NAMES.get(int(outs["status"][k]), "?"),
+                }
+
+            for k in np.nonzero(tpc)[0]:
+                events.append({"type": "teleport",
+                               "cause": TP_CAUSES.get(int(tpc[k]), "?"),
+                               **_ctx(int(k))})
+            for k in np.nonzero(rec)[0]:
+                events.append({"type": "recovery", **_ctx(int(k))})
+            if scores["collisions"] > prev_collisions:
+                events.append({"type": "collision",
+                               "count": scores["collisions"],
+                               **_ctx(CHUNK_TICKS - 1)})
+            prev_collisions = scores["collisions"]
         # Pinned-destination protocol: arrival parks the car and freezes the
         # metrics (driver.py), so further chunks are dead time — stop early.
         if not loop_routes and bool(state.route_done):
@@ -205,6 +252,10 @@ def main(argv=None):
         with open(args.report_json, "w") as f:
             json.dump({"weather": args.weather, **scores}, f, indent=2)
         print(f"report written to {args.report_json}")
+    if events is not None:
+        with open(args.events_json, "w") as f:
+            json.dump(events, f, indent=1)
+        print(f"{len(events)} events -> {args.events_json}")
     return scores
 
 

@@ -181,3 +181,24 @@ def test_fleet_rollout_batched_policy(setup):
     assert (d > 8.0).all(), f"fleet stalled: {d}"
     assert "frame" not in outs
     assert np.isfinite(np.asarray(outs["control"])).all()
+
+
+def test_depart_delay_holds_then_departs(setup):
+    """hold_until_s parks the ego (departure-phase sweep), then normal driving
+    resumes; the rescue machinery never fires during a sub-15 s hold."""
+
+    def stub_policy(img, speed_norm, cmd):
+        return jnp.tile(jnp.array([[0.0, 0.5, 0.0]]), (img.shape[0], 1))
+
+    state = make_driver_state(setup["world"])
+    roll = jax.jit(functools.partial(
+        rollout, steps=200, net=setup["net"], pool=setup["pool"],
+        wt=setup["wt"], params=setup["params"], policy_fn=stub_policy,
+        mode="drive", cam=TINY_CAM, want_frames=False, hold_until_s=5.0,
+    ))
+    final, outs = roll(state)
+    speeds = np.asarray(outs["speed_kmh"])
+    hold_ticks = int(5.0 / DT)
+    assert speeds[:hold_ticks].max() < 1.0, "ego moved during the hold"
+    assert speeds[hold_ticks:].max() > 5.0, "ego never departed after the hold"
+    assert float(final.metrics.teleports) == 0.0
