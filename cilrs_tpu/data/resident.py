@@ -187,9 +187,9 @@ def collect_resident(
         return jax.lax.dynamic_update_slice(dst, upd, idx)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def chunk(tbl, ax, fl, cursor, base_tick):
+    def chunk(tbl, ax, fl, ps, cursor, base_tick):
         fl2, outs = fleet_rollout(
-            fl, chunk_steps, net, pool_stack, wt, params,
+            fl, chunk_steps, net, ps, wt, params,
             mode="collect", cam=cam, want_frames=True, pool_batched=True,
             flat_frames=True,
         )
@@ -228,15 +228,32 @@ def collect_resident(
     def _logical(p: int) -> int:
         return page_rows if p < num_pages - 1 else N - (num_pages - 1) * page_rows
 
+    # Fresh-world SESSIONS, one per page (default for multi-page tables):
+    # the reference's own 176K dataset is FIVE independent sessions, not one
+    # continuous run, and the round-5/6 forensics isolated the >150k training
+    # collapse to frames collected past ~470 s of continuous sim time — rows
+    # whose labels are structurally identical (runs/label_structure.json) and
+    # individually predictable (runs/cross_eval.json) yet degrade turn
+    # training (runs/row_region.json). Restarting the world at each page
+    # boundary keeps every row inside the proven-healthy early-sim-time
+    # regime AND adds scenario diversity (new NPC placements / route pools
+    # per session). Single-page collections are bit-identical to the old
+    # behavior. CILRS_TPU_CONTINUOUS_COLLECT=1 restores the old continuous
+    # multi-page run (forensics A/B arm).
+    fresh_sessions = (
+        num_pages > 1
+        and os.environ.get("CILRS_TPU_CONTINUOUS_COLLECT") != "1")
+
     cursor = jnp.asarray(0, jnp.int32)
     t0 = time.time()
     chunks = 0
+    session_chunks = 0  # chunks within the current session (tick provenance)
     max_chunks = 20 * (N // M + 1) + 20 * num_pages
     filled = 0
     while filled < N:
         table, aux, fleet, cursor = chunk(
-            table, aux, fleet, cursor,
-            jnp.asarray(chunks * chunk_steps, jnp.int32))
+            table, aux, fleet, pool_stack, cursor,
+            jnp.asarray(session_chunks * chunk_steps, jnp.int32))
         if chunks == 0:
             jax.block_until_ready(cursor)
             compile_s = time.time() - t0
@@ -246,6 +263,7 @@ def collect_resident(
             t0 = time.time()  # steady-state rates exclude the compile
             filled0 = int(cursor)
         chunks += 1
+        session_chunks += 1
         if chunks >= max_chunks:
             raise RuntimeError(
                 f"collection stalled: {filled}/{N} frames after {chunks} chunks "
@@ -266,6 +284,19 @@ def collect_resident(
             table, aux = _new_page()
             cursor = jnp.asarray(0, jnp.int32)
             local = 0
+            if fresh_sessions:
+                # New session: fresh world/fleet/routes (seed offset by page),
+                # sim clock back to 0. Pools are a traced argument of `chunk`,
+                # so the compiled program is reused as-is.
+                s = len(done_pages)
+                fleet, pool_stack = make_fleet(
+                    net, num_envs, num_vehicles, num_pedestrians,
+                    np.random.RandomState(seed + 7919 * s),
+                    seed + 7919 * s, weather_idx)
+                session_chunks = 0
+                if verbose:
+                    print(f"  session {s + 1}/{num_pages}: fresh world "
+                          f"(seed {seed + 7919 * s})", flush=True)
         filled = len(done_pages) * page_rows + min(local, _logical(len(done_pages)))
         if verbose and chunks % 20 == 0:
             fps = filled / max(time.time() - t0, 1e-9)

@@ -230,3 +230,16 @@ def test_resident_gather_matches_table(resident_out):
     D = 32 * 64 * 3
     imgs = rows[:, :D].reshape(4, 32, 64, 3)
     assert imgs.sum() > 0
+
+
+def test_paged_collection_fresh_sessions(paged_out):
+    """Multi-page collections restart the world per page (fresh-session
+    protocol, reference 5-session parity): tick provenance resets at each
+    page boundary instead of continuing the sim clock."""
+    table, labels, _ = paged_out
+    page_rows = table["page_rows"]
+    ticks = labels["tick"]
+    for p in (1, 2):
+        first = ticks[p * page_rows : p * page_rows + 4]
+        # A continuous run would carry ticks ~p * (page_rows / envs) here.
+        assert first.min() < 50, f"page {p} does not restart: ticks {first}"
