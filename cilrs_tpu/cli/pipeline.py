@@ -48,6 +48,10 @@ def main(argv=None):
                    help="train-only multiplier on the aux speed-head loss "
                         "weight (TrainingConfig.speed_loss_boost; reported "
                         "val loss keeps the canonical weights)")
+    p.add_argument("--brake-boost", type=float, default=None,
+                   help="train-only multiplier on the brake-head L1 weight "
+                        "(TrainingConfig.brake_loss_boost; reported val loss "
+                        "keeps the canonical weights)")
     p.add_argument("--refresh-every", type=int, default=0,
                    help="resident mode: re-collect the train table every N "
                         "epochs (fresh frames, fixed val snapshot) — the "
@@ -172,6 +176,8 @@ def _resident_pipeline(net, args, t_start, timing):
         tcfg = dataclasses.replace(tcfg, hard_frame_boost=args.hard_boost)
     if args.speed_boost is not None:
         tcfg = dataclasses.replace(tcfg, speed_loss_boost=args.speed_boost)
+    if args.brake_boost is not None:
+        tcfg = dataclasses.replace(tcfg, brake_loss_boost=args.brake_boost)
     if args.patience is not None:
         tcfg = dataclasses.replace(tcfg, early_stop_patience=args.patience)
     ocfg = cfg.optimizer

@@ -148,6 +148,12 @@ class TrainingConfig:
     # learns to fully exploit the motion-blur/grain-stretch speed cues
     # (speed corr plateaued at 0.957 vs the reference's 0.9844).
     speed_loss_boost: float = 1.0
+    # TRAIN-only multiplier on the brake-head L1 weight (same pattern as
+    # speed_loss_boost — reported losses keep canonical weights). Brake
+    # events are ~10% of frames and binary-ish; at the canonical 1.0 weight
+    # the brake head plateaued at corr 0.963 vs the reference's 0.9815
+    # (round-2 ceiling measurement: 0.9974 reachable, tools/corr_ceiling.py).
+    brake_loss_boost: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

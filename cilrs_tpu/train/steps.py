@@ -30,14 +30,16 @@ def _prep_images(images_u8: jnp.ndarray, key: jnp.ndarray | None, augment: bool)
 
 def make_train_step(cfg: TrainConfig):
     loss_cfg = cfg.loss
-    if cfg.training.speed_loss_boost != 1.0:
-        # Train-time-only reweighting of the aux speed head; eval keeps the
-        # canonical weights so val_loss stays comparable across runs.
+    if (cfg.training.speed_loss_boost != 1.0
+            or cfg.training.brake_loss_boost != 1.0):
+        # Train-time-only reweighting of the aux speed / brake heads; eval
+        # keeps the canonical weights so val_loss stays comparable across runs.
         import dataclasses
 
         loss_cfg = dataclasses.replace(
             loss_cfg,
             speed_weight=loss_cfg.speed_weight * cfg.training.speed_loss_boost,
+            brake_weight=loss_cfg.brake_weight * cfg.training.brake_loss_boost,
         )
 
     def train_step(state: CILRSTrainState, batch: dict, rng: jnp.ndarray):
