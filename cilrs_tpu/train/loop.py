@@ -81,6 +81,7 @@ def train(
     init_from: str | None = None,
     max_train_frames: int | None = None,
     train_row_mask: np.ndarray | None = None,
+    eval_every: int = 1,
 ) -> dict:
     """Full training run. Returns history dict incl. best_val_loss.
 
@@ -287,8 +288,54 @@ def train(
             _, outs = jax.lax.scan(body, None, _gather_group(dds, idxs))
             return outs
 
-        train_steps = lambda state, i, rng: _train_steps_dev(state, dev_train, i, rng)
-        eval_steps = lambda state, i: _eval_steps_dev(state, dev_val, i)
+        # MULTI-PAGE tables split the paged gather into its OWN dispatch and
+        # let the train/eval scans consume the pre-gathered batch stack.
+        # Motivation (RESULTS_training.md round 6): every run whose fused
+        # train dispatch gathered page-2 rows collapsed turn learning — r5f,
+        # r6a (fresh healthy world in page 2), late_only — while page-1-only
+        # training and every STANDALONE gather structure measured bit-exact
+        # (cross_eval, train_gather_probe) — i.e. the fusion of the 2-page
+        # Mosaic gathers with the donated 25-step train scan miscomputes in
+        # a way instrumentation masks. The split reproduces exactly the
+        # program structures that audit clean, at the cost of one extra
+        # dispatch per 25 steps (~100 ms tunnel RTT, ~5% of the group's
+        # device time) and a transient [K*B] frame buffer (~160 MB).
+        # Single-page tables keep the proven fused path (bit-reproduces the
+        # 150k flagship). CILRS_TPU_FUSED_GATHER=1 forces the old fused path
+        # on multi-page tables too (the collapse-reproduction A/B arm).
+        split_gather = (len(dev_train["images"]) > 1
+                        and os.environ.get("CILRS_TPU_FUSED_GATHER") != "1")
+
+        @jax.jit
+        def _gather_only(dds, idxs):
+            return _gather_group(dds, idxs)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def _train_steps_pre(state, batches, rng):
+            def body(st, batch):
+                st2, parts = base_train_step(st, batch, rng)
+                return st2, parts["loss"]
+
+            return jax.lax.scan(body, state, batches)
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _eval_steps_pre(state, batches):
+            def body(_, batch):
+                parts = base_eval_step(state, batch)
+                return None, (parts["loss"], parts["cmd_steer_err_sum"],
+                              parts["cmd_count"])
+
+            _, outs = jax.lax.scan(body, None, batches)
+            return outs
+
+        if split_gather:
+            train_steps = lambda state, i, rng: _train_steps_pre(
+                state, _gather_only(dev_train, i), rng)
+            eval_steps = lambda state, i: _eval_steps_pre(
+                state, _gather_only(dev_val, i))
+        else:
+            train_steps = lambda state, i, rng: _train_steps_dev(state, dev_train, i, rng)
+            eval_steps = lambda state, i: _eval_steps_dev(state, dev_val, i)
     elif dev_resident:
         frame_bytes = int(np.prod(ds.images.shape[1:]))
         # 16 GB v5e HBM minus model+opt (~0.3 GB) and step workspace: the flat
@@ -473,11 +520,22 @@ def train(
             vl = float(np.mean(val_losses)) if val_losses else float("nan")
             return vl, err_sum, cnt
 
-        val_loss, err_sum, cnt = _run_val(eval_state)
-        # Raw-iterate val alongside the EMA one: one extra ~2 s pass that
-        # makes an EMA that lags or diverges visible immediately instead of
-        # surfacing as a mysteriously flat best-val.
-        val_loss_raw = _run_val(state)[0] if use_ema else val_loss
+        # eval_every > 1 skips epoch-end validation on off epochs (always
+        # validates the final epoch). Two uses: cheaper long runs, and the
+        # round-6 eval-causality experiments (a no-eval training run whose
+        # offline report is healthy pins the collapse on the interleaved
+        # eval dispatch itself).
+        do_eval = ((epoch + 1) % max(eval_every, 1) == 0
+                   or epoch + 1 == cfg.training.epochs)
+        if do_eval:
+            val_loss, err_sum, cnt = _run_val(eval_state)
+            # Raw-iterate val alongside the EMA one: one extra ~2 s pass that
+            # makes an EMA that lags or diverges visible immediately instead
+            # of surfacing as a mysteriously flat best-val.
+            val_loss_raw = _run_val(state)[0] if use_ema else val_loss
+        else:
+            val_loss = val_loss_raw = float("nan")
+            err_sum, cnt = np.zeros(4), np.zeros(4)
         cmd_err = {COMMAND_NAMES[i]: float(err_sum[i] / max(cnt[i], 1)) for i in range(4)}
 
         ep_time = time.time() - t0
@@ -497,11 +555,11 @@ def train(
         cand_val, cand_state = val_loss, eval_state
         if use_ema and val_loss_raw < cand_val:
             cand_val, cand_state = val_loss_raw, state
-        improved = cand_val < best_val
+        improved = do_eval and cand_val < best_val
         if improved:
             best_val = cand_val
             patience = 0
-        else:
+        elif do_eval:  # skipped-eval epochs advance neither patience nor best
             patience += 1
         if ckpt_dir:
             # Best slot on improvement; rolling latest slot (resume point)
