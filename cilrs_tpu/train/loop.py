@@ -82,6 +82,7 @@ def train(
     max_train_frames: int | None = None,
     train_row_mask: np.ndarray | None = None,
     eval_every: int = 1,
+    stream_seed: int | None = None,
 ) -> dict:
     """Full training run. Returns history dict incl. best_val_loss.
 
@@ -141,7 +142,11 @@ def train(
     B = max(n_dev, (B // n_dev) * n_dev)
     spe = steps_per_epoch or max(1, len(train_idx) // B)
 
-    state = create_train_state(cfg, jax.random.PRNGKey(cfg.training.seed), spe)
+    # stream_seed: init/sampler/aug seed override that leaves the SPLIT at
+    # cfg.training.seed, so val stays identical across seed arms (the
+    # round-6 bistability experiments — and any multi-seed training).
+    sseed = cfg.training.seed if stream_seed is None else stream_seed
+    state = create_train_state(cfg, jax.random.PRNGKey(sseed), spe)
     if init_from:
         # Warm start from another run's BEST slot (params + BN stats; fresh
         # optimizer/schedule) — stage-2 fine-tunes on a fixed table after a
@@ -439,11 +444,11 @@ def train(
         eval_step = jax.jit(base_eval_step)
 
     sampler = WeightedBatchSampler(
-        ds.command[train_idx], B, cfg.training.seed,
+        ds.command[train_idx], B, sseed,
         controls=ds.controls[train_idx],
         hard_boost=cfg.training.hard_frame_boost,
     )
-    rng = jax.random.PRNGKey(cfg.training.seed + 1)
+    rng = jax.random.PRNGKey(sseed + 1)
 
     history = []
     patience = 0

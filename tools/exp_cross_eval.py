@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--ckpt", default="runs/r5e/ckpt")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="runs/cross_eval.json")
+    p.add_argument("--save-preds", default=None,
+                   help="npz path for per-row (pred_controls, true_controls, "
+                        "command, speed_kmh) — failure-mode diagnosis")
     args = p.parse_args(argv)
 
     from cilrs_tpu.cli.common import (build_map, enable_compilation_cache,
@@ -154,6 +157,10 @@ def main(argv=None):
           " ".join(f"{b['turn_mae']:.3f}" if b["turn_mae"] is not None else "-"
                    for b in buckets))
 
+    if args.save_preds:
+        np.savez_compressed(args.save_preds, pred=preds, true=true, cmd=cmd,
+                            speed_kmh=labels["speed_kmh"][:n_eval])
+        print(f"per-row predictions -> {args.save_preds}")
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"-> {args.out}")
