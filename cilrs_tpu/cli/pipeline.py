@@ -56,6 +56,12 @@ def main(argv=None):
                    help="resident mode: re-collect the train table every N "
                         "epochs (fresh frames, fixed val snapshot) — the "
                         "on-device simulator makes data effectively free")
+    p.add_argument("--stage1-frames", type=int, default=0,
+                   help="latch-then-widen curriculum: first train a full "
+                        "run on this many frames (the proven-latching 150k "
+                        "stream), then widen to --frames initialized from "
+                        "its best slot")
+    p.add_argument("--stage1-epochs", type=int, default=24)
     p.add_argument("--init-from", default=None,
                    help="warm-start params from another run's best checkpoint "
                         "(stage-2 fixed-table fine-tune after a refresh run)")
@@ -185,6 +191,35 @@ def _resident_pipeline(net, args, t_start, timing):
         ocfg = dataclasses.replace(ocfg, learning_rate=args.lr)
     cfg = dataclasses.replace(cfg, training=tcfg, optimizer=ocfg)
 
+    init_from = args.init_from
+    if args.stage1_frames and not args.skip_train:
+        # Latch-then-widen curriculum (RESULTS_training.md round 6): turn-
+        # feature latching from a from-scratch trunk is bistable, and the
+        # 150k seed-42 stream is the reproducibly-latching draw (seeds
+        # 43/137 collapse even at 150k; every from-scratch 176k stream
+        # tested collapses). Stage 1 trains that proven stream; stage 2
+        # widens the latched model to the full --frames split, which holds
+        # the latch and reaches reference-bar val (runs/stage2.json:
+        # val 0.0475 < 0.054 in 6 epochs). The reference avoids the latch
+        # problem entirely with its ImageNet-pretrained trunk (PARITY
+        # delta 4) — unavailable offline here, so the curriculum is the
+        # TPU-native equivalent.
+        print(f"\n=== stage 1: latch on {args.stage1_frames} frames ===")
+        t0 = time.time()
+        s1_table, s1_labels, _ = collect_resident(
+            net, args.stage1_frames, num_envs=args.envs,
+            num_vehicles=args.vehicles, num_pedestrians=args.walkers,
+            weather_idx=None, seed=args.seed)
+        s1_cfg = dataclasses.replace(cfg, training=dataclasses.replace(
+            cfg.training, epochs=args.stage1_epochs))
+        s1_ckpt = os.path.join(args.workdir, "ckpt_stage1")
+        s1_out = train(labels_dataset(s1_labels), s1_cfg, ckpt_dir=s1_ckpt,
+                       resident=s1_table, init_from=init_from)
+        del s1_table, s1_out  # free ~8 GB of HBM before the main collect
+        timing["stage1_s"] = time.time() - t0
+        init_from = s1_ckpt
+        print(f"stage 1 done in {timing['stage1_s']:.0f}s -> {s1_ckpt}")
+
     print(f"\n=== resident collect: {args.frames} frames (mixed weathers) ===")
     t0 = time.time()
     table, labels, stats = collect_resident(
@@ -217,7 +252,7 @@ def _resident_pipeline(net, args, t_start, timing):
         out = train(ds, cfg, ckpt_dir=ckpt_dir, resident=holder.pop(),
                     refresh_fn=refresh_fn if args.refresh_every else None,
                     refresh_every=args.refresh_every,
-                    init_from=args.init_from)
+                    init_from=init_from)
         timing["train_s"] = time.time() - t0
         timing["best_val_loss"] = out["best_val_loss"]
         print(f"best val loss: {out['best_val_loss']:.4f} "
