@@ -62,6 +62,12 @@ def main(argv=None):
                         "stream), then widen to --frames initialized from "
                         "its best slot")
     p.add_argument("--stage1-epochs", type=int, default=24)
+    p.add_argument("--latch-probes", type=int, default=0,
+                   help="stage-1 robustness: probe up to N training streams "
+                        "for 2 epochs each and train stage 1 with the first "
+                        "whose turn errors latch (LEFT+RIGHT val err < "
+                        "0.11) — removes the dependence on any one lucky "
+                        "stream seed (RESULTS_training.md round 6)")
     p.add_argument("--init-from", default=None,
                    help="warm-start params from another run's best checkpoint "
                         "(stage-2 fixed-table fine-tune after a refresh run)")
@@ -213,8 +219,35 @@ def _resident_pipeline(net, args, t_start, timing):
         s1_cfg = dataclasses.replace(cfg, training=dataclasses.replace(
             cfg.training, epochs=args.stage1_epochs))
         s1_ckpt = os.path.join(args.workdir, "ckpt_stage1")
+        s1_seed = None  # default stream (cfg.training.seed)
+        if args.latch_probes:
+            # 2-epoch probes over candidate streams: latching is decided in
+            # the first epochs (healthy ~0.066 LEFT+RIGHT vs collapsed
+            # ~0.12-0.19), and a probe costs ~30 s vs a wasted full run.
+            probe_cfg = dataclasses.replace(s1_cfg, training=dataclasses.replace(
+                s1_cfg.training, epochs=2))
+            for k in range(args.latch_probes):
+                cand = (cfg.training.seed if k == 0
+                        else cfg.training.seed + 101 * k)
+                pres = train(labels_dataset(s1_labels), probe_cfg,
+                             resident=dict(s1_table), verbose=False,
+                             stream_seed=cand, init_from=init_from)
+                h = pres["history"][-1]
+                del pres  # free the probe's train state before the next one
+                turn = h["steer_err_LEFT"] + h["steer_err_RIGHT"]
+                latched = turn < 0.11
+                print(f"  latch probe {k}: stream seed {cand} "
+                      f"LEFT+RIGHT {turn:.3f} -> "
+                      f"{'LATCHED' if latched else 'no latch'}", flush=True)
+                if latched:
+                    s1_seed = cand
+                    break
+            else:
+                print("  no probe latched; proceeding with the last stream")
+                s1_seed = cand
         s1_out = train(labels_dataset(s1_labels), s1_cfg, ckpt_dir=s1_ckpt,
-                       resident=s1_table, init_from=init_from)
+                       resident=s1_table, init_from=init_from,
+                       stream_seed=s1_seed)
         del s1_table, s1_out  # free ~8 GB of HBM before the main collect
         timing["stage1_s"] = time.time() - t0
         init_from = s1_ckpt
