@@ -216,8 +216,13 @@ def _resident_pipeline(net, args, t_start, timing):
             net, args.stage1_frames, num_envs=args.envs,
             num_vehicles=args.vehicles, num_pedestrians=args.walkers,
             weather_idx=None, seed=args.seed)
+        # Stage 1 always runs the CANONICAL latch recipe: the head boosts
+        # (--brake-boost/--speed-boost/--hard-boost) are stage-2 tuning and
+        # changing the stage-1 gradient mix would reshuffle the bistable
+        # latch draw the curriculum depends on.
         s1_cfg = dataclasses.replace(cfg, training=dataclasses.replace(
-            cfg.training, epochs=args.stage1_epochs))
+            cfg.training, epochs=args.stage1_epochs,
+            speed_loss_boost=1.0, brake_loss_boost=1.0, hard_frame_boost=0.0))
         s1_ckpt = os.path.join(args.workdir, "ckpt_stage1")
         s1_seed = None  # default stream (cfg.training.seed)
         if args.latch_probes:
