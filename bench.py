@@ -100,7 +100,16 @@ def main():
     t_c = time.time()
     fleet = chunk(fleet, net, pool, variables)
     jax.block_until_ready(jax.tree.leaves(fleet)[0])
-    print(f"# compile+first chunk: {time.time() - t_c:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t_c
+    print(f"# compile+first chunk: {compile_s:.1f}s", file=sys.stderr)
+    if compile_s > 120.0:
+        # Guard for the <120 s cold-start bar (docs/PERF.md): a slow first
+        # chunk here means the persistent cache missed (code drift without a
+        # warm run, or a cleared .jax_cache) or a remote-compile outlier —
+        # flagged loudly instead of silently folded into a one-off number.
+        print(f"# WARNING: cold compile {compile_s:.1f}s exceeds the 120 s "
+              f"bar — compilation cache likely missed (see docs/PERF.md)",
+              file=sys.stderr)
 
     t0 = time.time()
     for _ in range(REPS):
