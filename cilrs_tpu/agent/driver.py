@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from typing import Callable
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -155,8 +157,7 @@ def env_observe(
     # route progress, and every proven-healthy collection (r4b..r5e) was
     # collected with the backstop in place, so removing it — not keeping it —
     # would be the distribution change (round-4 advisor, documented choice).
-    import os as _os
-    if mode != "drive" or _os.environ.get("CILRS_TPU_NO_REDHOLD") == "1":
+    if mode != "drive" or os.environ.get("CILRS_TPU_NO_REDHOLD") == "1":
         red_ahead = jnp.asarray(False)
     else:
         red_ahead = perception.red_light_ahead(net, lights, ego_pos, ego_yaw)
@@ -219,6 +220,24 @@ def env_act(
             control = jnp.where(holding,
                                 jnp.array([0.0, 0.0, 0.8], jnp.float32), control)
             reverse = jnp.where(holding, False, reverse)
+        # OFF-ROAD recovery steer (deploy-only): while off the drivable
+        # surface, steer hint-dominant back toward the route at reduced
+        # throttle instead of riding the model's drift into the 10-frame
+        # streak teleport (the r6d benchmark's 7 off-road rescues were all
+        # moderate-speed FOLLOW wobbles with no obstacle,
+        # runs/events_r6d/). The hint (routing.steer_hint cross product) is
+        # exactly the back-to-route direction; the branch only activates
+        # when already off-road, so on-road behavior is untouched.
+        # CILRS_TPU_NO_OFFROAD_ASSIST=1 disables (A/B arm).
+        if os.environ.get("CILRS_TPU_NO_OFFROAD_ASSIST") != "1":
+            assist_steer = jnp.clip(0.7 * hint + 0.3 * control[0], -1.0, 1.0)
+            off = ~on_road
+            control = jnp.where(
+                off,
+                jnp.stack([assist_steer,
+                           jnp.minimum(control[1], 0.4),
+                           control[2]]),
+                control)
     else:
         a_steer, a_thr, a_brk = autopilot_controls(
             route, route_idx, ego_pos, ego_yaw, speed_kmh, obs_dist, tl_state
@@ -309,9 +328,16 @@ def env_act(
 
     off_streak = jnp.where(on_road, 0, state.off_road_streak + 1)
 
+    # Off-road teleport window stays at the reference's 10-frame streak
+    # (:1566-1572) in BOTH modes: a widened 2 s recovery window was A/B'd
+    # and measured NET NEGATIVE (the longer excursion ended in a collision —
+    # clear 88.6/1-collision vs 98.8/0 at 10 frames; /tmp round-6 arm), so
+    # the quick rescue is protective, not cosmetic.
+    off_limit = OFF_ROAD_STREAK_MAX
+
     # --- teleport (recovery escalation | stuck | off-road streak | reverse fallback) ---
     teleport = (
-        escalate | stuck | (off_streak > OFF_ROAD_STREAK_MAX) | events["teleport_request"]
+        escalate | stuck | (off_streak > off_limit) | events["teleport_request"]
     )
     # Cause snapshot BEFORE the teleport-state resets below clear off_streak
     # (0 none / 1 collision-escalate / 2 still / 3 wait / 4 hard-stuck /
@@ -320,7 +346,7 @@ def env_act(
         teleport,
         jnp.argmax(jnp.stack([
             escalate, stuck_still, waiting_long, hard_stuck,
-            off_streak > OFF_ROAD_STREAK_MAX, events["teleport_request"],
+            off_streak > off_limit, events["teleport_request"],
         ])) + 1,
         0,
     ).astype(jnp.int32)
