@@ -243,3 +243,16 @@ def test_paged_collection_fresh_sessions(paged_out):
         first = ticks[p * page_rows : p * page_rows + 4]
         # A continuous run would carry ticks ~p * (page_rows / envs) here.
         assert first.min() < 50, f"page {p} does not restart: ticks {first}"
+
+
+def test_stream_seed_changes_training_stream(resident_out):
+    """stream_seed reseeds init/sampler (the bistability arms + latch probes)
+    while the split/val stay fixed — same val size, different trajectories."""
+    table, labels, _, _ = resident_out
+    ds = labels_dataset(labels)
+    t = dict(table)
+    a = train(ds, TINY_CFG, steps_per_epoch=3, verbose=False,
+              mesh=make_mesh(1), resident=dict(t))
+    b = train(ds, TINY_CFG, steps_per_epoch=3, verbose=False,
+              mesh=make_mesh(1), resident=dict(t), stream_seed=7)
+    assert a["history"][0]["train_loss"] != b["history"][0]["train_loss"]
