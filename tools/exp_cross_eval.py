@@ -159,7 +159,10 @@ def main(argv=None):
 
     if args.save_preds:
         np.savez_compressed(args.save_preds, pred=preds, true=true, cmd=cmd,
-                            speed_kmh=labels["speed_kmh"][:n_eval])
+                            speed_kmh=labels["speed_kmh"][:n_eval],
+                            obstacle_dist=labels["obstacle_dist"][:n_eval],
+                            tl_state=labels["tl_state"][:n_eval],
+                            env=labels["env"][:n_eval])
         print(f"per-row predictions -> {args.save_preds}")
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
